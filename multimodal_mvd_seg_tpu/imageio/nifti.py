@@ -1,0 +1,181 @@
+"""Pure-numpy NIfTI-1 reader/writer (.nii / .nii.gz).
+
+Replaces the reference's SimpleITK/nibabel readers
+(nnunetv2/imageio/simpleitk_reader_writer.py, nibabel_reader_writer.py) — those
+libraries are not available here, and the format itself is a fixed 348-byte
+header + raw voxel block, so we codec it directly. Axis convention matches the
+reference SimpleITKIO: arrays come out as (c, z, y, x) relative to on-disk
+(i, j, k) storage order, spacing reversed to match, no physical reorientation.
+The original raw header travels in the properties dict so ``write_seg``
+round-trips affine/orientation losslessly."""
+
+import gzip
+import struct
+from typing import List, Tuple, Union
+
+import numpy as np
+
+from .base import BaseReaderWriter
+
+_DTYPES = {
+    2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32, 64: np.float64,
+    256: np.int8, 512: np.uint16, 768: np.uint32, 1024: np.int64, 1280: np.uint64,
+}
+_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def _open(fname: str, mode: str):
+    return gzip.open(fname, mode) if fname.endswith(".gz") else open(fname, mode)
+
+
+def read_nifti(fname: str, apply_scaling: bool = True):
+    """Returns (data[i,j,k(,t...)] as stored, header_dict)."""
+    with _open(fname, "rb") as f:
+        raw = f.read()
+    hdr = raw[:348]
+    (sizeof_hdr,) = struct.unpack_from("<i", hdr, 0)
+    endian = "<"
+    if sizeof_hdr != 348:
+        endian = ">"
+        (sizeof_hdr,) = struct.unpack_from(">i", hdr, 0)
+        if sizeof_hdr != 348:
+            raise ValueError(f"{fname}: not a NIfTI-1 file (sizeof_hdr={sizeof_hdr})")
+    magic = hdr[344:348]
+    if magic[:3] not in (b"n+1", b"ni1"):
+        raise ValueError(f"{fname}: unsupported magic {magic!r} (only NIfTI-1)")
+    dim = struct.unpack_from(endian + "8h", hdr, 40)
+    datatype, bitpix = struct.unpack_from(endian + "2h", hdr, 70)
+    pixdim = struct.unpack_from(endian + "8f", hdr, 76)
+    (vox_offset,) = struct.unpack_from(endian + "f", hdr, 108)
+    scl_slope, scl_inter = struct.unpack_from(endian + "2f", hdr, 112)
+    sform_code = struct.unpack_from(endian + "h", hdr, 254)[0]
+    srow = np.array(struct.unpack_from(endian + "12f", hdr, 280),
+                    dtype=np.float64).reshape(3, 4)
+
+    ndim = dim[0]
+    shape = tuple(int(d) for d in dim[1:1 + ndim])
+    if datatype not in _DTYPES:
+        raise ValueError(f"{fname}: unsupported NIfTI datatype {datatype}")
+    dtype = np.dtype(_DTYPES[datatype]).newbyteorder(endian)
+    count = int(np.prod(shape))
+    offset = int(vox_offset) if vox_offset >= 352 else 352
+    data = np.frombuffer(raw, dtype=dtype, count=count, offset=offset)
+    data = data.reshape(shape, order="F")
+    if apply_scaling and scl_slope not in (0.0, 1.0) or (apply_scaling and scl_inter != 0.0):
+        data = data.astype(np.float32) * (scl_slope if scl_slope != 0.0 else 1.0) + scl_inter
+    header = {
+        "shape": shape,
+        "zooms": tuple(float(abs(p)) for p in pixdim[1:1 + max(ndim, 3)]),
+        "datatype": int(datatype),
+        "sform_code": int(sform_code),
+        "srow": srow,
+        "raw_header": bytes(hdr),
+        "endian": endian,
+    }
+    return np.asarray(data), header
+
+
+def write_nifti(fname: str, data: np.ndarray, header: Union[dict, None] = None,
+                spacing: Union[Tuple[float, ...], None] = None):
+    """Write ``data`` (axes (i,j,k) storage order) as NIfTI-1. If ``header``
+    carries a raw_header from read_nifti, affine/orientation fields are
+    preserved; otherwise a minimal identity-oriented header is built."""
+    data = np.ascontiguousarray(data.T).T  # no-op; keep original values
+    dt = np.dtype(data.dtype)
+    if dt not in _CODES:
+        # pick a sane storage type
+        if np.issubdtype(dt, np.integer):
+            data = data.astype(np.int32)
+        else:
+            data = data.astype(np.float32)
+        dt = data.dtype
+    code = _CODES[np.dtype(dt.newbyteorder("="))] if dt.byteorder in (">",) else _CODES[dt]
+
+    if header is not None and header.get("raw_header") is not None \
+            and header.get("endian", "<") == "<":
+        hdr = bytearray(header["raw_header"])
+    else:
+        hdr = bytearray(348)
+        struct.pack_into("<i", hdr, 0, 348)
+        struct.pack_into("<8f", hdr, 76, 1.0, *(spacing or (1.0,) * 3)[:3],
+                         *([1.0] * (7 - 3 - 0)))
+        # identity sform
+        struct.pack_into("<h", hdr, 254, 1)
+        sp = list(spacing or (1.0, 1.0, 1.0))
+        struct.pack_into("<4f", hdr, 280, sp[0], 0, 0, 0)
+        struct.pack_into("<4f", hdr, 296, 0, sp[1], 0, 0)
+        struct.pack_into("<4f", hdr, 312, 0, 0, sp[2], 0)
+        hdr[344:348] = b"n+1\x00"
+
+    ndim = data.ndim
+    dims = [ndim] + list(data.shape) + [1] * (7 - ndim)
+    struct.pack_into("<8h", hdr, 40, *dims)
+    struct.pack_into("<2h", hdr, 70, code, data.dtype.itemsize * 8)
+    if spacing is not None:
+        pixdim = list(struct.unpack_from("<8f", hdr, 76))
+        for i, s in enumerate(spacing[:3]):
+            pixdim[1 + i] = float(s)
+        struct.pack_into("<8f", hdr, 76, *pixdim)
+    struct.pack_into("<f", hdr, 108, 352.0)   # vox_offset
+    struct.pack_into("<2f", hdr, 112, 1.0, 0.0)  # scl_slope/inter
+    hdr[344:348] = b"n+1\x00"
+
+    with _open(fname, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(b"\x00" * 4)  # extension flag
+        f.write(np.asfortranarray(data).tobytes(order="F"))
+
+
+class NiftiIO(BaseReaderWriter):
+    """nnU-Net-compatible NIfTI reader/writer (reference
+    simpleitk_reader_writer.py:18-130 semantics: (c, z, y, x) arrays, reversed
+    spacing, spacing consistency checks across modalities)."""
+
+    supported_file_endings = [".nii", ".nii.gz"]
+
+    def read_images(self, image_fnames: Union[List[str], Tuple[str, ...]]
+                    ) -> Tuple[np.ndarray, dict]:
+        images, spacings, headers = [], [], []
+        for f in image_fnames:
+            data, hdr = read_nifti(f)
+            if data.ndim == 2:
+                data = data[:, :, None]
+            assert data.ndim == 3, f"{f}: only 2d/3d images are supported"
+            images.append(data.T[None].astype(np.float32))  # (1, k, j, i)
+            spacings.append(tuple(reversed(hdr["zooms"][:data.ndim])))
+            headers.append(hdr)
+        if not self._check_all_same([i.shape for i in images]):
+            raise RuntimeError(f"Image shapes disagree: {image_fnames}")
+        if not self._check_all_same(spacings):
+            raise RuntimeError(f"Image spacings disagree: {image_fnames}")
+        props = {
+            "spacing": list(spacings[0]),
+            "nifti_header": headers[0],
+        }
+        return np.vstack(images), props
+
+    def read_seg(self, seg_fname: str) -> Tuple[np.ndarray, dict]:
+        return self.read_images((seg_fname,))
+
+    def write_seg(self, seg: np.ndarray, output_fname: str, properties: dict) -> None:
+        assert seg.ndim == 3, "segmentations must be 3d (x, y, z)"
+        hdr = properties.get("nifti_header")
+        spacing = tuple(reversed(properties["spacing"]))
+        write_nifti(output_fname, seg.T.astype(np.uint8 if seg.max() < 255
+                                               else np.uint16),
+                    header=hdr, spacing=spacing)
+
+
+# The reference registry exposes these class names
+# (reader_writer_registry.py:14-21); keep them resolvable so plans files written
+# by the reference ("image_reader_writer": "SimpleITKIO"/"NibabelIO") work here.
+class SimpleITKIO(NiftiIO):
+    pass
+
+
+class NibabelIO(NiftiIO):
+    pass
+
+
+class NibabelIOWithReorient(NiftiIO):
+    pass
