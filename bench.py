@@ -1,0 +1,103 @@
+"""Benchmark: 3d_fullres train-step throughput on the real chip.
+
+Mirrors the reference's benchmark trainer protocol
+(nnUNetTrainerBenchmark_5epochs_noDataLoading: fixed dummy batches, pure
+device compute, fastest-window timing — reference
+variants/benchmarking/nnUNetTrainerBenchmark_5epochs.py:31-64) on the MVD
+paper's training shape: 2-channel 64×128×256 patches, batch 2
+(HybridNetwork.py:1445-1453 / MVDTrainer.py:164-166).
+
+Baseline anchor: an A100 runs a 250-iteration nnU-Net 3d_fullres epoch in
+~120 s at this scale (documentation/benchmarking.md's spreadsheet-era numbers)
+→ ~2.08 train steps/s. vs_baseline = our steps/s ÷ 2.08.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+A100_STEPS_PER_S = 250.0 / 120.0
+
+
+def main():
+    from multimodal_mvd_seg_tpu.models.unet import PlainConvUNet
+    from multimodal_mvd_seg_tpu.losses.compound import DC_and_CE_loss
+    from multimodal_mvd_seg_tpu.losses.deep_supervision import (
+        DeepSupervisionWrapper, default_ds_weights)
+    from multimodal_mvd_seg_tpu.data.augment import downsample_seg_for_ds
+
+    patch = (64, 128, 256)
+    batch = 2
+    channels = 2
+    classes = 5  # MVD: background + 4 key structures
+    strides = [[1, 1, 1], [2, 2, 2], [2, 2, 2], [2, 2, 2], [2, 2, 2], [1, 2, 2]]
+    features = [32, 64, 128, 256, 320, 320]
+
+    net = PlainConvUNet(
+        features_per_stage=features,
+        n_conv_per_stage_encoder=[2] * 6,
+        n_conv_per_stage_decoder=[2] * 5,
+        kernel_sizes=[[3, 3, 3]] * 6,
+        strides=strides,
+        num_classes=classes,
+        deep_supervision=True)
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((batch, *patch, channels), jnp.bfloat16)
+    params = net.init(rng, x, train=False)["params"]
+
+    ds_scales = [list(1 / np.array(s)) for s in
+                 np.cumprod(np.vstack(strides), axis=0)][:-1]
+    loss_obj = DeepSupervisionWrapper(DC_and_CE_loss(batch_dice=True),
+                                      default_ds_weights(len(ds_scales)))
+
+    tx = optax.chain(optax.clip_by_global_norm(12.0),
+                     optax.add_decayed_weights(3e-5),
+                     optax.sgd(1e-2, momentum=0.99, nesterov=True))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, data, seg):
+        targets = downsample_seg_for_ds(seg, ds_scales)
+
+        def loss_fn(p):
+            outs = net.apply({"params": p}, data, train=True)
+            return loss_obj(outs, targets)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    rs = np.random.RandomState(0)
+    data = jnp.asarray(rs.normal(size=(batch, *patch, channels)),
+                       jnp.bfloat16)
+    seg = jnp.asarray(rs.randint(0, classes, (batch, *patch)), jnp.int32)
+
+    # warmup / compile
+    params, opt_state, loss = train_step(params, opt_state, data, seg)
+    jax.block_until_ready(loss)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = train_step(params, opt_state, data, seg)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = n_steps / dt
+    print(json.dumps({
+        "metric": "3d_fullres_train_steps_per_s",
+        "value": round(steps_per_s, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / A100_STEPS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

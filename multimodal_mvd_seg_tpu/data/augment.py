@@ -1,0 +1,297 @@
+"""On-device, fully jittable training augmentation.
+
+TPU-native replacement for the reference's batchgenerators CPU worker-pool
+pipeline (transform parameters mirror nnUNetTrainer.get_training_transforms,
+reference :678-770):
+
+- SpatialTransform: per-sample rotation (p=0.2, ±30° each axis; dummy-2d mode
+  ±180° in-plane) + scaling (p=0.2, 0.7–1.4), fused into ONE affine
+  gather per sample (single linear resample for data, nearest for seg),
+  which simultaneously center-crops the enlarged sampling patch to the
+  final patch size.
+- GaussianNoise (p=0.1, var 0–0.1), GaussianBlur (p=0.2, σ 0.5–1.0,
+  per-channel p=0.5), multiplicative brightness (p=0.15, 0.75–1.25),
+  contrast (p=0.15, 0.75–1.25), simulated low resolution (p=0.25, zoom
+  0.5–1, per-channel p=0.5), gamma inverted (p=0.1) and gamma (p=0.3,
+  γ 0.7–1.5, retain stats), mirroring (p=0.5 per axis).
+
+Everything is traced once and fused by XLA; there are no host round-trips and
+no dynamic shapes (the low-res zoom is expressed in coordinate arithmetic, not
+array shapes). Data layout: data (b, *spatial, c) float32, seg (b, *spatial)
+int32 (label -1 = outside region)."""
+
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class AugmentConfig(NamedTuple):
+    patch_size: Tuple[int, ...]           # final patch size after spatial aug
+    rotation: Tuple[float, float] = (-np.pi / 6, np.pi / 6)
+    p_rotation: float = 0.2
+    scale_range: Tuple[float, float] = (0.7, 1.4)
+    p_scale: float = 0.2
+    p_noise: float = 0.1
+    noise_var: Tuple[float, float] = (0.0, 0.1)
+    p_blur: float = 0.2
+    blur_sigma: Tuple[float, float] = (0.5, 1.0)
+    p_blur_per_channel: float = 0.5
+    p_brightness: float = 0.15
+    brightness_range: Tuple[float, float] = (0.75, 1.25)
+    p_contrast: float = 0.15
+    contrast_range: Tuple[float, float] = (0.75, 1.25)
+    p_lowres: float = 0.25
+    lowres_zoom: Tuple[float, float] = (0.5, 1.0)
+    p_lowres_per_channel: float = 0.5
+    p_gamma_invert: float = 0.1
+    p_gamma: float = 0.3
+    gamma_range: Tuple[float, float] = (0.7, 1.5)
+    mirror_axes: Tuple[int, ...] = (0, 1, 2)
+    do_dummy_2d: bool = False
+
+
+def _rot3(kx, ky, kz):
+    cx, sx = jnp.cos(kx), jnp.sin(kx)
+    cy, sy = jnp.cos(ky), jnp.sin(ky)
+    cz, sz = jnp.cos(kz), jnp.sin(kz)
+    rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def _rot2(k):
+    c, s = jnp.cos(k), jnp.sin(k)
+    return jnp.array([[c, -s], [s, c]])
+
+
+def _affine_coords(key, in_shape, out_shape, cfg: AugmentConfig):
+    """Sampling coordinates in the input patch for every output voxel:
+    rotation+scale about the center, identity when not triggered."""
+    dim = len(out_shape)
+    k_rot, k_ang, k_scl, k_sfac = jax.random.split(key, 4)
+
+    do_rot = jax.random.uniform(k_rot) < cfg.p_rotation
+    angles = jax.random.uniform(k_ang, (3,), minval=cfg.rotation[0],
+                                maxval=cfg.rotation[1])
+    angles = jnp.where(do_rot, angles, jnp.zeros(3))
+
+    do_scale = jax.random.uniform(k_scl) < cfg.p_scale
+    scale = jax.random.uniform(k_sfac, (), minval=cfg.scale_range[0],
+                               maxval=cfg.scale_range[1])
+    scale = jnp.where(do_scale, scale, 1.0)
+
+    if dim == 3:
+        if cfg.do_dummy_2d:
+            # rotate only in-plane (axes 1,2), full ±180° handled by cfg.rotation
+            mat = _rot3(angles[0], 0.0, 0.0)
+        else:
+            mat = _rot3(angles[0], angles[1], angles[2])
+    else:
+        mat = _rot2(angles[0])
+    # scaling < 1 zooms IN in batchgenerators convention (coordinates * scale)
+    mat = mat * scale
+
+    grids = jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) -
+                           (s - 1) / 2 for s in out_shape], indexing="ij")
+    pts = jnp.stack([g.reshape(-1) for g in grids], 0)          # (dim, N)
+    pts = mat @ pts                                             # rotate+scale
+    centers = jnp.array([(s - 1) / 2 for s in in_shape], jnp.float32)
+    coords = pts + centers[:, None]
+    return coords.reshape(dim, *out_shape)
+
+
+def _map_coords(volume, coords, order: int):
+    return jax.scipy.ndimage.map_coordinates(volume, list(coords), order=order,
+                                             mode="nearest")
+
+
+def _spatial_one(key, data, seg, cfg: AugmentConfig):
+    """data (*spatial, c), seg (*spatial)."""
+    in_shape = seg.shape
+    coords = _affine_coords(key, in_shape, cfg.patch_size, cfg)
+    data_out = jax.vmap(lambda v: _map_coords(v, coords, 1),
+                        in_axes=-1, out_axes=-1)(data)
+    seg_out = _map_coords(seg.astype(jnp.float32), coords, 0).astype(jnp.int32)
+    return data_out, seg_out
+
+
+def _gauss_kernel(sigma, radius: int):
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-4)) ** 2)
+    return k / k.sum()
+
+
+def _blur_axis(x, kernel, axis):
+    """Separable 1D convolution along `axis` of a (*spatial,) volume."""
+    moved = jnp.moveaxis(x, axis, -1)
+    shp = moved.shape
+    flat = moved.reshape(-1, 1, shp[-1])
+    out = jax.lax.conv_general_dilated(
+        flat, kernel[None, None, :], window_strides=(1,),
+        padding=[(kernel.shape[0] // 2, kernel.shape[0] // 2)],
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return jnp.moveaxis(out.reshape(shp), -1, axis)
+
+
+def _gaussian_blur_one(key, data, cfg: AugmentConfig):
+    dim = data.ndim - 1
+    k_do, k_sig, k_ch = jax.random.split(key, 3)
+    do = jax.random.uniform(k_do) < cfg.p_blur
+    sigma = jax.random.uniform(k_sig, (data.shape[-1],),
+                               minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
+    per_ch = jax.random.uniform(k_ch, (data.shape[-1],)) < cfg.p_blur_per_channel
+    radius = 3  # covers sigma ≤ 1.0 (4σ truncation would be 4; 3 is <1e-3 tail)
+
+    def blur_channel(vol, s):
+        kern = _gauss_kernel(s, radius)
+        for ax in range(dim):
+            vol = _blur_axis(vol, kern, ax)
+        return vol
+
+    blurred = jax.vmap(blur_channel, in_axes=(-1, 0), out_axes=-1)(data, sigma)
+    use = do & per_ch
+    return jnp.where(use.reshape((1,) * dim + (-1,)), blurred, data)
+
+
+def _lowres_axis(x, zoom, axis, size):
+    """Simulate order-0 downsample + linear upsample along one axis using
+    coordinate arithmetic only (no dynamic shapes). zoom is traced."""
+    m = jnp.maximum(jnp.round(size * zoom), 1.0)       # low-res length
+    i = jnp.arange(size, dtype=jnp.float32)
+    xl = (i + 0.5) * m / size - 0.5                    # coordinate in lowres grid
+    j0 = jnp.floor(xl)
+    t = xl - j0
+    # nearest original index of lowres sample j: round((j + 0.5) * size/m - 0.5)
+    def orig(j):
+        return jnp.clip(jnp.round((j + 0.5) * size / m - 0.5), 0, size - 1
+                        ).astype(jnp.int32)
+    idx0, idx1 = orig(j0), orig(j0 + 1)
+    moved = jnp.moveaxis(x, axis, 0)
+    out = (1 - t).reshape(-1, *([1] * (moved.ndim - 1))) * moved[idx0] + \
+        t.reshape(-1, *([1] * (moved.ndim - 1))) * moved[idx1]
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _lowres_one(key, data, cfg: AugmentConfig):
+    dim = data.ndim - 1
+    k_do, k_z, k_ch = jax.random.split(key, 3)
+    do = jax.random.uniform(k_do) < cfg.p_lowres
+    zoom = jax.random.uniform(k_z, (data.shape[-1],),
+                              minval=cfg.lowres_zoom[0], maxval=cfg.lowres_zoom[1])
+    per_ch = jax.random.uniform(k_ch, (data.shape[-1],)) < cfg.p_lowres_per_channel
+
+    def lr_channel(vol, z):
+        for ax in range(dim):
+            vol = _lowres_axis(vol, z, ax, vol.shape[ax])
+        return vol
+
+    low = jax.vmap(lr_channel, in_axes=(-1, 0), out_axes=-1)(data, zoom)
+    use = do & per_ch
+    return jnp.where(use.reshape((1,) * dim + (-1,)), low, data)
+
+
+def _gamma_one(key, data, cfg: AugmentConfig, invert: bool, p: float):
+    k_do, k_g = jax.random.split(key)
+    do = jax.random.uniform(k_do) < p
+    gamma = jax.random.uniform(k_g, (), minval=cfg.gamma_range[0],
+                               maxval=cfg.gamma_range[1])
+    x = -data if invert else data
+    mn = x.min()
+    rng_ = jnp.maximum(x.max() - mn, 1e-7)
+    mean, std = x.mean(), x.std()
+    y = jnp.power((x - mn) / rng_, gamma) * rng_ + mn
+    # retain_stats=True in the reference pipeline
+    y = (y - y.mean()) / jnp.maximum(y.std(), 1e-7) * std + mean
+    y = -y if invert else y
+    return jnp.where(do, y, data)
+
+
+def _intensity_one(key, data, cfg: AugmentConfig):
+    keys = jax.random.split(key, 10)
+    dim = data.ndim - 1
+    # gaussian noise
+    do_noise = jax.random.uniform(keys[0]) < cfg.p_noise
+    var = jax.random.uniform(keys[1], (), minval=cfg.noise_var[0],
+                             maxval=cfg.noise_var[1])
+    noise = jax.random.normal(keys[2], data.shape) * jnp.sqrt(var)
+    data = jnp.where(do_noise, data + noise, data)
+    # blur
+    data = _gaussian_blur_one(keys[3], data, cfg)
+    # brightness (multiplicative)
+    do_b = jax.random.uniform(keys[4]) < cfg.p_brightness
+    bfac = jax.random.uniform(keys[8], (), minval=cfg.brightness_range[0],
+                              maxval=cfg.brightness_range[1])
+    data = jnp.where(do_b, data * bfac, data)
+    # contrast (preserve range)
+    do_c = jax.random.uniform(keys[5]) < cfg.p_contrast
+    cfac = jax.random.uniform(keys[9], (), minval=cfg.contrast_range[0],
+                              maxval=cfg.contrast_range[1])
+    axes = tuple(range(dim))
+    mean = data.mean(axis=axes, keepdims=True)
+    mn = data.min(axis=axes, keepdims=True)
+    mx = data.max(axis=axes, keepdims=True)
+    contrasted = jnp.clip((data - mean) * cfac + mean, mn, mx)
+    data = jnp.where(do_c, contrasted, data)
+    # simulate low res
+    data = _lowres_one(keys[6], data, cfg)
+    # gamma (inverted then normal, reference order :742-752)
+    k_g1, k_g2 = jax.random.split(keys[7])
+    data = _gamma_one(k_g1, data, cfg, invert=True, p=cfg.p_gamma_invert)
+    data = _gamma_one(k_g2, data, cfg, invert=False, p=cfg.p_gamma)
+    return data
+
+
+def _mirror_one(key, data, seg, cfg: AugmentConfig):
+    dim = data.ndim - 1
+    flips = jax.random.uniform(key, (len(cfg.mirror_axes),)) < 0.5
+    for i, ax in enumerate(cfg.mirror_axes):
+        if ax >= dim:
+            continue
+        data = jnp.where(flips[i], jnp.flip(data, axis=ax), data)
+        seg = jnp.where(flips[i], jnp.flip(seg, axis=ax), seg)
+    return data, seg
+
+
+def _augment_one(key, data, seg, cfg: AugmentConfig):
+    k_sp, k_int, k_mir = jax.random.split(key, 3)
+    data, seg = _spatial_one(k_sp, data, seg, cfg)
+    data = _intensity_one(k_int, data, cfg)
+    data, seg = _mirror_one(k_mir, data, seg, cfg)
+    return data, seg
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def augment_batch(key: jax.Array, data: jnp.ndarray, seg: jnp.ndarray,
+                  cfg: AugmentConfig):
+    """data (b, *in_patch, c) float32, seg (b, *in_patch) int32 →
+    (b, *cfg.patch_size, c), (b, *cfg.patch_size)."""
+    keys = jax.random.split(key, data.shape[0])
+    return jax.vmap(lambda k, d, s: _augment_one(k, d, s, cfg))(keys, data, seg)
+
+
+def downsample_seg_for_ds(seg: jnp.ndarray, ds_scales: Sequence[Sequence[float]]):
+    """Nearest-neighbor downsampling of the target to each deep-supervision
+    scale (reference custom_transforms/deep_supervision_donwsampling.py)."""
+    outputs = []
+    spatial = seg.shape[1:]
+    for scale in ds_scales:
+        if all(s == 1 for s in scale):
+            outputs.append(seg)
+            continue
+        new_shape = tuple(int(round(sh * sc)) for sh, sc in zip(spatial, scale))
+        out = jax.image.resize(seg.astype(jnp.float32),
+                               (seg.shape[0], *new_shape), method="nearest")
+        outputs.append(out.astype(seg.dtype))
+    return outputs
+
+
+def compute_ds_scales(pool_op_kernel_sizes) -> list:
+    """Cumulative downsampling factors per deep-supervision output, finest
+    first, skipping the coarsest (matches nnUNetTrainer deep_supervision_scales
+    :340-345)."""
+    scales = list(np.cumprod(np.vstack(pool_op_kernel_sizes), axis=0))
+    return [list(1 / np.array(i)) for i in scales][:-1]

@@ -1,0 +1,63 @@
+"""Distillation / mutual-learning losses.
+
+Parity: reference nnunetv2/training/loss/other_loss.py (cc :7-31, distill_kl
+:51-64, l2_loss :67-78) plus a reconstruction of the missing symbol
+``kl_loss_compute1`` (imported at MVDTrainer.py:74, used on the two branches'
+vessel-channel probability maps at MVDTrainer.py:896-899): a symmetric KL
+between two probability maps."""
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def kl_loss_compute1(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric per-voxel KL between two probability maps in [0,1]
+    (Bernoulli KL on the vessel channel), mean-reduced. Gradients flow into
+    both branches — that is what makes the distillation *mutual*."""
+    p1 = jnp.clip(p1.astype(jnp.float32), _EPS, 1.0 - _EPS)
+    p2 = jnp.clip(p2.astype(jnp.float32), _EPS, 1.0 - _EPS)
+
+    def bern_kl(a, b):
+        return a * (jnp.log(a) - jnp.log(b)) + \
+            (1 - a) * (jnp.log(1 - a) - jnp.log(1 - b))
+
+    return 0.5 * (bern_kl(p1, p2) + bern_kl(p2, p1)).mean()
+
+
+def distill_kl(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
+               temperature: float = 1.0) -> jnp.ndarray:
+    """Temperature-scaled KL(teacher ‖ student) over the channel axis
+    (reference other_loss.distill_kl, last axis = classes here)."""
+    t = temperature
+    logp_s = jax.nn.log_softmax(student_logits.astype(jnp.float32) / t, axis=-1)
+    p_t = jax.nn.softmax(teacher_logits.astype(jnp.float32) / t, axis=-1)
+    kl = (p_t * (jnp.log(jnp.clip(p_t, _EPS)) - logp_s)).sum(-1)
+    return kl.mean() * (t ** 2)
+
+
+def cc(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Pearson correlation coefficient between two maps
+    (reference other_loss.cc)."""
+    x = x.astype(jnp.float32).reshape(-1)
+    y = y.astype(jnp.float32).reshape(-1)
+    xm = x - x.mean()
+    ym = y - y.mean()
+    return (xm * ym).sum() / jnp.clip(
+        jnp.sqrt((xm ** 2).sum()) * jnp.sqrt((ym ** 2).sum()), _EPS)
+
+
+def cc_3d(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample correlation, mean over batch (reference other_loss.cc_3D)."""
+    b = x.shape[0]
+    return jnp.mean(jax.vmap(cc)(x.reshape(b, -1), y.reshape(b, -1)))
+
+
+def l2_loss(a: jnp.ndarray, b: jnp.ndarray, channelwise_kl: bool = False
+            ) -> jnp.ndarray:
+    """MSE between feature maps; channelwise_kl mode matches the reference's
+    alternative branch (softmax over channels then KL)."""
+    if channelwise_kl:
+        return distill_kl(a, b, temperature=1.0)
+    return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)

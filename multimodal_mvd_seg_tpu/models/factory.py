@@ -1,0 +1,75 @@
+"""Network factory: plans → model.
+
+Parity: reference nnunetv2/utilities/get_network_from_plans.py:15-92
+(get_network_from_plans) and :94-242 (get_dual_network_from_plans, in
+contrastive_net.py here). He-style init comes from flax's default
+kaiming-variance conv init."""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..plans.plans_handler import ConfigurationManager, PlansManager
+from ..plans.label_handling import determine_num_input_channels
+from .unet import PlainConvUNet, ResidualEncoderUNet
+
+
+def _features_per_stage(configuration_manager: ConfigurationManager):
+    num_stages = len(configuration_manager.conv_kernel_sizes)
+    return [min(configuration_manager.UNet_base_num_features * 2 ** i,
+                configuration_manager.unet_max_num_features)
+            for i in range(num_stages)]
+
+
+def get_network_from_plans(plans_manager: PlansManager,
+                           dataset_json: dict,
+                           configuration_manager: ConfigurationManager,
+                           num_input_channels: int,
+                           deep_supervision: bool = True,
+                           norm: str = "instance"):
+    """Build the flax module described by the plans. Mirrors the mapping in
+    reference get_network_from_plans.py:15-92 ('PlainConvUNet' /
+    'ResidualEncoderUNet' by name)."""
+    label_manager = plans_manager.get_label_manager(dataset_json)
+    segmentation_network_class_name = configuration_manager.UNet_class_name
+    mapping = {
+        'PlainConvUNet': PlainConvUNet,
+        'ResidualEncoderUNet': ResidualEncoderUNet,
+    }
+    if segmentation_network_class_name not in mapping:
+        raise RuntimeError(
+            f"Unknown UNet_class_name {segmentation_network_class_name!r}; "
+            f"known: {sorted(mapping)}")
+    cls = mapping[segmentation_network_class_name]
+    return cls(
+        features_per_stage=_features_per_stage(configuration_manager),
+        n_conv_per_stage_encoder=configuration_manager.n_conv_per_stage_encoder,
+        n_conv_per_stage_decoder=configuration_manager.n_conv_per_stage_decoder,
+        kernel_sizes=configuration_manager.conv_kernel_sizes,
+        strides=configuration_manager.pool_op_kernel_sizes,
+        num_classes=label_manager.num_segmentation_heads,
+        deep_supervision=deep_supervision,
+        norm=norm,
+    )
+
+
+def build_network_and_params(plans_manager: PlansManager, dataset_json: dict,
+                             configuration_manager: ConfigurationManager,
+                             rng: Optional[jax.Array] = None,
+                             deep_supervision: bool = True,
+                             num_input_channels: Optional[int] = None):
+    """Instantiate module + init parameters with a dummy batch of the planned
+    patch size (channels-last)."""
+    if num_input_channels is None:
+        num_input_channels = determine_num_input_channels(
+            plans_manager, configuration_manager, dataset_json)
+    network = get_network_from_plans(plans_manager, dataset_json,
+                                     configuration_manager, num_input_channels,
+                                     deep_supervision=deep_supervision)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    patch = tuple(configuration_manager.patch_size)
+    dummy = jnp.zeros((1, *patch, num_input_channels), jnp.bfloat16)
+    variables = network.init(rng, dummy, train=False)
+    return network, variables

@@ -1,0 +1,575 @@
+"""Base trainer: full training life cycle on TPU.
+
+Parity: reference nnunetv2/training/nnUNetTrainer/nnUNetTrainer.py (1280 LoC)
+re-designed functionally:
+- TrainState PyTree (params + optax state) updated by a pjit-compiled,
+  buffer-donating train step; bf16 matmuls with fp32 master params replace
+  AMP+GradScaler (no grad scaler needed on TPU) — reference :915-924.
+- optax chain clip_by_global_norm(12) → weight decay 3e-5 → SGD nesterov
+  momentum 0.99, PolyLR per epoch (reference configure_optimizers :482-486).
+- On-device fused augmentation inside the same jit (replaces the reference's
+  12 batchgenerators worker processes, :633-644).
+- 5-fold split seeded KFold(12345) + splits_final.json (reference :517-579).
+- Online pseudo-Dice from hard tp/fp/fn (reference :942-1037), EMA-dice best
+  checkpointing + checkpoint_latest every 50 epochs (reference :1052-1066).
+- Data parallelism: global batch sharded over the mesh 'data' axis; gradient
+  psums inserted by XLA (replaces DDP, reference run_training.py:152-231).
+"""
+
+import os
+import pickle
+import time
+from datetime import datetime
+from typing import List, Optional, Tuple, Union
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import paths
+from ..configuration import ANISO_THRESHOLD, default_num_processes
+from ..data.augment import (AugmentConfig, augment_batch, compute_ds_scales,
+                            downsample_seg_for_ds)
+from ..data.dataset import MVDSegDataset, unpack_dataset
+from ..data.pipeline import PrefetchLoader
+from ..data.sampler import PatchSampler, get_initial_patch_size
+from ..losses.compound import DC_and_CE_loss, DC_and_BCE_loss
+from ..losses.deep_supervision import DeepSupervisionWrapper, default_ds_weights
+from ..models.factory import get_network_from_plans
+from ..parallel.mesh import get_mesh
+from ..plans.label_handling import determine_num_input_channels
+from ..plans.plans_handler import PlansManager
+from ..utils.files import (join, isfile, load_json, maybe_mkdir_p, save_json)
+from .logger import MVDSegLogger
+from .lr_scheduler import poly_lr
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+class MVDSegTrainer:
+    """Reference nnUNetTrainer equivalent."""
+
+    def __init__(self, plans: dict, configuration: str, fold: int,
+                 dataset_json: dict, unpack_data: bool = True,
+                 device: str = "auto", specified_cfg: Optional[str] = None):
+        self.plans_manager = PlansManager(plans)
+        self.configuration_manager = self.plans_manager.get_configuration(configuration)
+        self.configuration_name = configuration
+        self.dataset_json = dataset_json
+        self.fold = fold
+        self.unpack_data = unpack_data
+        self.specified_cfg = specified_cfg
+
+        self.preprocessed_dataset_folder_base = join(
+            paths.get_preprocessed(), self.plans_manager.dataset_name)
+        # output folder naming incl. the fork's -sp suffix
+        # (reference file_path_utilities.py:1-124 + nnUNetTrainer.py:125)
+        folder_name = (f"{self.__class__.__name__}__"
+                       f"{self.plans_manager.plans_name}__{configuration}")
+        if specified_cfg:
+            folder_name += f"__{specified_cfg}"
+        self.output_folder_base = join(paths.get_results(),
+                                       self.plans_manager.dataset_name,
+                                       folder_name)
+        self.output_folder = join(self.output_folder_base, f"fold_{fold}")
+
+        self.preprocessed_dataset_folder = join(
+            self.preprocessed_dataset_folder_base,
+            self.configuration_manager.data_identifier)
+
+        self.label_manager = self.plans_manager.get_label_manager(dataset_json)
+        self.num_input_channels = determine_num_input_channels(
+            self.plans_manager, self.configuration_manager, dataset_json)
+
+        # hyperparameters (reference nnUNetTrainer.py:154-166)
+        self.initial_lr = 1e-2
+        self.weight_decay = 3e-5
+        self.oversample_foreground_percent = 0.33
+        self.num_iterations_per_epoch = 250
+        self.num_val_iterations_per_epoch = 50
+        self.num_epochs = 1000
+        self.current_epoch = 0
+        # data-parallel width (None = all visible devices)
+        self.n_data_parallel: Optional[int] = None
+        self.enable_deep_supervision = True
+        self.grad_clip_norm = 12.0
+
+        self.logger = MVDSegLogger()
+        self._best_ema = None
+        self.inference_allowed_mirroring_axes = None
+
+        self.mesh = None
+        self.network = None
+        self.state: Optional[TrainState] = None
+        self._train_step_fn = None
+        self._val_step_fn = None
+        self.dataloader_train = None
+        self.dataloader_val = None
+        self.was_initialized = False
+        self.log_file = None
+        self.device = device
+        self._rng = jax.random.PRNGKey(
+            int.from_bytes(os.urandom(4), "little"))
+
+    # ------------------------------------------------------------------ setup
+
+    def print_to_log_file(self, *args, also_print_to_console: bool = True,
+                          add_timestamp: bool = True):
+        if self.log_file is None:
+            maybe_mkdir_p(self.output_folder)
+            timestamp = datetime.now()
+            self.log_file = join(
+                self.output_folder,
+                "training_log_%d_%d_%d_%02.0d_%02.0d_%02.0d.txt" %
+                (timestamp.year, timestamp.month, timestamp.day,
+                 timestamp.hour, timestamp.minute, timestamp.second))
+        msg = " ".join(str(a) for a in args)
+        if add_timestamp:
+            msg = f"{datetime.now()}: {msg}"
+        for _ in range(5):  # reference retries log writes 5x on IOError (:444-458)
+            try:
+                with open(self.log_file, "a") as f:
+                    f.write(msg + "\n")
+                break
+            except IOError:
+                time.sleep(0.5)
+        if also_print_to_console:
+            print(msg)
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def configure_rotation_dummyDA_mirroring_and_initial_patch_size(self):
+        """Reference nnUNetTrainer.py:646-676."""
+        patch_size = self.configuration_manager.patch_size
+        dim = len(patch_size)
+        if dim == 2:
+            do_dummy_2d = False
+            if max(patch_size) / min(patch_size) > 1.5:
+                rotation = (-15. / 360 * 2 * np.pi, 15. / 360 * 2 * np.pi)
+            else:
+                rotation = (-np.pi, np.pi)
+            mirror_axes = (0, 1)
+        else:
+            do_dummy_2d = (patch_size[0] / patch_size[1]) > ANISO_THRESHOLD
+            if do_dummy_2d:
+                rotation = (-np.pi, np.pi)
+            else:
+                rotation = (-30. / 360 * 2 * np.pi, 30. / 360 * 2 * np.pi)
+            mirror_axes = (0, 1, 2)
+
+        if do_dummy_2d:
+            initial = np.array(patch_size)
+            initial[1:] = get_initial_patch_size(
+                patch_size[1:], rotation, rotation, rotation, (0.85, 1.25))
+            initial = list(initial)
+        else:
+            initial = list(get_initial_patch_size(
+                patch_size, rotation, rotation, rotation, (0.85, 1.25)))
+        return rotation, do_dummy_2d, initial, mirror_axes
+
+    def _build_loss(self):
+        """Reference nnUNetTrainer._build_loss (:351-375)."""
+        if self.label_manager.has_regions:
+            base = DC_and_BCE_loss(
+                batch_dice=self.configuration_manager.batch_dice,
+                use_ignore_label=self.label_manager.has_ignore_label)
+        else:
+            base = DC_and_CE_loss(
+                batch_dice=self.configuration_manager.batch_dice,
+                ignore_label=self.label_manager.ignore_label)
+        if self.enable_deep_supervision:
+            weights = default_ds_weights(len(self._ds_scales()))
+            return DeepSupervisionWrapper(base, weights)
+        return base
+
+    def _ds_scales(self):
+        return compute_ds_scales(self.configuration_manager.pool_op_kernel_sizes)
+
+    def build_network_architecture(self, deep_supervision: bool = True):
+        return get_network_from_plans(self.plans_manager, self.dataset_json,
+                                      self.configuration_manager,
+                                      self.num_input_channels,
+                                      deep_supervision=deep_supervision)
+
+    def _make_optimizer(self):
+        iters = self.num_iterations_per_epoch
+
+        def schedule(step):
+            epoch = step // iters
+            return poly_lr(self.initial_lr, jnp.minimum(epoch, self.num_epochs - 1),
+                           self.num_epochs)
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(self.grad_clip_norm),
+            optax.add_decayed_weights(self.weight_decay),
+            optax.sgd(schedule, momentum=0.99, nesterov=True),
+        )
+        return tx
+
+    def initialize(self):
+        if self.was_initialized:
+            return
+        maybe_mkdir_p(self.output_folder)
+        self.mesh = get_mesh(n_data=self.n_data_parallel)
+        self.network = self.build_network_architecture(self.enable_deep_supervision)
+        patch = tuple(self.configuration_manager.patch_size)
+        dummy = jnp.zeros((1, *patch, self.num_input_channels), jnp.bfloat16)
+        variables = self.network.init(self._next_rng(), dummy, train=False)
+        params = variables["params"]
+        self.tx = self._make_optimizer()
+        opt_state = self.tx.init(params)
+        self.state = TrainState(params=params, opt_state=opt_state,
+                                step=jnp.zeros((), jnp.int32))
+        self.loss = self._build_loss()
+
+        (rotation, do_dummy_2d, initial_patch, mirror_axes) = \
+            self.configure_rotation_dummyDA_mirroring_and_initial_patch_size()
+        self.inference_allowed_mirroring_axes = mirror_axes
+        self._initial_patch_size = initial_patch
+        self.aug_cfg = AugmentConfig(patch_size=patch, rotation=tuple(rotation),
+                                     mirror_axes=tuple(mirror_axes),
+                                     do_dummy_2d=do_dummy_2d)
+        self._compile_steps()
+        self.was_initialized = True
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        self.print_to_log_file(
+            f"Initialized {self.__class__.__name__}: "
+            f"{type(self.network).__name__}, {n_params:,} params, "
+            f"patch {patch}, batch {self.configuration_manager.batch_size}, "
+            f"mesh {self.mesh.shape}")
+
+    # -------------------------------------------------------------- jit steps
+
+    def _loss_from_outputs(self, outputs, seg):
+        if self.enable_deep_supervision:
+            targets = downsample_seg_for_ds(seg, self._ds_scales())
+            if self.label_manager.has_regions:
+                targets = [self._seg_to_regions(t) for t in targets]
+            return self.loss(outputs, targets)
+        if self.label_manager.has_regions:
+            seg = self._seg_to_regions(seg)
+        return self.loss(outputs, seg)
+
+    def _seg_to_regions(self, seg):
+        """Labelmap → multi-hot region target (+ ignore mask channel last),
+        replacing the reference's ConvertSegmentationToRegionsTransform."""
+        regions = self.label_manager.foreground_regions
+        chans = []
+        for r in regions:
+            if isinstance(r, (tuple, list)):
+                m = jnp.zeros(seg.shape, bool)
+                for rr in r:
+                    m = m | (seg == rr)
+            else:
+                m = seg == r
+            chans.append(m)
+        out = jnp.stack(chans, -1).astype(jnp.float32)
+        if self.label_manager.has_ignore_label:
+            out = jnp.concatenate(
+                [out, (seg == self.label_manager.ignore_label)[..., None]
+                 .astype(jnp.float32)], -1)
+        return out
+
+    def _compile_steps(self):
+        mesh = self.mesh
+        batch_sharding = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        network = self.network
+        tx = self.tx
+        aug_cfg = self.aug_cfg
+
+        def train_step(state: TrainState, key, data, seg):
+            data, seg = augment_batch(key, data, seg, aug_cfg)
+            seg = jnp.maximum(seg, 0)  # RemoveLabelTransform(-1 → 0)
+
+            def loss_fn(params):
+                outputs = network.apply({"params": params},
+                                        data.astype(jnp.bfloat16), train=True)
+                return self._loss_from_outputs(outputs, seg)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1)
+            return new_state, {"loss": loss}
+
+        def val_step(state: TrainState, data, seg):
+            seg = jnp.maximum(seg, 0)
+            outputs = network.apply({"params": state.params},
+                                    data.astype(jnp.bfloat16), train=False)
+            out = outputs[0] if isinstance(outputs, (list, tuple)) else outputs
+            loss = self._loss_from_outputs(
+                outputs if self.enable_deep_supervision else out, seg)
+            # hard tp/fp/fn for pseudo-Dice (reference :942-1004)
+            if self.label_manager.has_regions:
+                pred = (jax.nn.sigmoid(out) > 0.5).astype(jnp.float32)
+                tgt = self._seg_to_regions(seg)
+                if self.label_manager.has_ignore_label:
+                    mask = 1.0 - tgt[..., -1:]
+                    tgt = tgt[..., :-1]
+                    pred, tgt = pred * mask, tgt * mask
+            else:
+                num_classes = out.shape[-1]
+                pred = jax.nn.one_hot(jnp.argmax(out, -1), num_classes)
+                tgt = jax.nn.one_hot(seg, num_classes)
+                pred, tgt = pred[..., 1:], tgt[..., 1:]  # fg only
+            axes = tuple(range(out.ndim - 1))
+            tp = jnp.sum(pred * tgt, axes)
+            fp = jnp.sum(pred * (1 - tgt), axes)
+            fn = jnp.sum((1 - pred) * tgt, axes)
+            return {"loss": loss, "tp": tp, "fp": fp, "fn": fn}
+
+        self._train_step_fn = jax.jit(
+            train_step,
+            in_shardings=(rep, rep, batch_sharding, batch_sharding),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,))
+        self._val_step_fn = jax.jit(
+            val_step, in_shardings=(rep, batch_sharding, batch_sharding),
+            out_shardings=rep)
+        self._batch_sharding = batch_sharding
+
+    # ------------------------------------------------------------------ data
+
+    def do_split(self) -> Tuple[List[str], List[str]]:
+        """5-fold KFold seeded 12345, persisted as splits_final.json
+        (reference :517-579). fold='all' trains on everything."""
+        dataset = MVDSegDataset(self.preprocessed_dataset_folder)
+        keys = sorted(dataset.keys())
+        if self.fold == "all":
+            return keys, keys
+        splits_file = join(self.preprocessed_dataset_folder_base,
+                           "splits_final.json")
+        if not isfile(splits_file):
+            from sklearn.model_selection import KFold
+            kf = KFold(n_splits=5, shuffle=True, random_state=12345)
+            splits = []
+            for tr_idx, te_idx in kf.split(keys):
+                splits.append({"train": [keys[i] for i in tr_idx],
+                               "val": [keys[i] for i in te_idx]})
+            save_json(splits, splits_file)
+            self.print_to_log_file(f"Created new 5-fold split in {splits_file}")
+        splits = load_json(splits_file)
+        if self.fold < len(splits):
+            tr = splits[self.fold]["train"]
+            va = splits[self.fold]["val"]
+        else:
+            # requested fold beyond splits: random 80:20 (reference :560-571)
+            rnd = np.random.RandomState(seed=12345 + self.fold)
+            idx_tr = rnd.choice(len(keys), int(len(keys) * 0.8), replace=False)
+            tr = [keys[i] for i in idx_tr]
+            va = [keys[i] for i in range(len(keys)) if i not in idx_tr]
+        self.print_to_log_file(
+            f"fold {self.fold}: {len(tr)} train / {len(va)} val cases")
+        return tr, va
+
+    def get_dataloaders(self):
+        tr_keys, val_keys = self.do_split()
+        if self.unpack_data:
+            unpack_dataset(self.preprocessed_dataset_folder, num_processes=1)
+        ds_tr = MVDSegDataset(self.preprocessed_dataset_folder, tr_keys)
+        ds_val = MVDSegDataset(self.preprocessed_dataset_folder, val_keys)
+        patch = tuple(self.configuration_manager.patch_size)
+        global_bs = self.configuration_manager.batch_size
+        # round the global batch up to a multiple of the data-mesh size
+        n_data = self.mesh.shape["data"]
+        if global_bs % n_data:
+            global_bs = int(np.ceil(global_bs / n_data) * n_data)
+        sampler_tr = PatchSampler(
+            ds_tr, global_bs, self._initial_patch_size, patch,
+            self.oversample_foreground_percent)
+        sampler_val = PatchSampler(
+            ds_val, global_bs, patch, patch,
+            self.oversample_foreground_percent)
+        self.dataloader_train = iter(PrefetchLoader(
+            sampler_tr, seed=self.fold if self.fold != 'all' else 0,
+            sharding=self._batch_sharding))
+        self.dataloader_val = iter(PrefetchLoader(
+            sampler_val, seed=1000 + (self.fold if self.fold != 'all' else 0),
+            sharding=self._batch_sharding))
+
+    # ------------------------------------------------------------------ loop
+
+    def on_train_start(self):
+        self.initialize()
+        self.get_dataloaders()
+        save_json({"init": {"configuration": self.configuration_name,
+                            "fold": self.fold},
+                   "trainer": self.__class__.__name__,
+                   "plans": self.plans_manager.plans_name,
+                   "jax_devices": [str(d) for d in jax.devices()]},
+                  join(self.output_folder, "debug.json"))
+
+    def train_step(self, data, seg):
+        self.state, metrics = self._train_step_fn(
+            self.state, self._next_rng(), data, seg)
+        return metrics
+
+    def validation_step(self, data, seg):
+        return self._val_step_fn(self.state, data, seg)
+
+    def run_training(self):
+        self.on_train_start()
+        for epoch in range(self.current_epoch, self.num_epochs):
+            self.logger.log("epoch_start_timestamps", time.time(), epoch)
+            lr = poly_lr(self.initial_lr, epoch, self.num_epochs)
+            self.logger.log("lrs", lr, epoch)
+
+            train_losses = []
+            for _ in range(self.num_iterations_per_epoch):
+                data, seg = next(self.dataloader_train)
+                m = self.train_step(data, seg)
+                train_losses.append(m["loss"])
+            train_loss = float(np.mean([jax.device_get(l) for l in train_losses]))
+            self.logger.log("train_losses", train_loss, epoch)
+
+            val_losses, tps, fps, fns = [], [], [], []
+            for _ in range(self.num_val_iterations_per_epoch):
+                data, seg = next(self.dataloader_val)
+                m = self.validation_step(data, seg)
+                val_losses.append(m["loss"])
+                tps.append(m["tp"])
+                fps.append(m["fp"])
+                fns.append(m["fn"])
+            val_loss = float(np.mean([jax.device_get(l) for l in val_losses]))
+            tp = np.sum(jax.device_get(tps), 0)
+            fp = np.sum(jax.device_get(fps), 0)
+            fn = np.sum(jax.device_get(fns), 0)
+            dice_per_class = 2 * tp / np.maximum(2 * tp + fp + fn, 1e-8)
+            mean_fg_dice = float(np.nanmean(dice_per_class))
+            self.logger.log("val_losses", val_loss, epoch)
+            self.logger.log("dice_per_class_or_region",
+                            [float(d) for d in dice_per_class], epoch)
+            self.logger.log("mean_fg_dice", mean_fg_dice, epoch)
+
+            self.on_epoch_end(epoch)
+        self.on_train_end()
+
+    def on_epoch_end(self, epoch):
+        self.logger.log("epoch_end_timestamps", time.time(), epoch)
+        L = self.logger.my_fantastic_logging
+        self.print_to_log_file(
+            f"Epoch {epoch} | train_loss {L['train_losses'][epoch]:.4f} | "
+            f"val_loss {L['val_losses'][epoch]:.4f} | pseudo-Dice "
+            f"{np.round(L['dice_per_class_or_region'][epoch], 4)} | EMA "
+            f"{L['ema_fg_dice'][epoch]:.4f} | "
+            f"time {L['epoch_end_timestamps'][epoch] - L['epoch_start_timestamps'][epoch]:.2f}s")
+
+        self.current_epoch = epoch + 1  # before saves: resume runs the next epoch
+        ema = L["ema_fg_dice"][epoch]
+        if self._best_ema is None or ema > self._best_ema:
+            self._best_ema = ema
+            self.print_to_log_file(
+                f"Yayy! New best EMA pseudo Dice: {ema:.4f}")
+            self.save_checkpoint(join(self.output_folder, "checkpoint_best.pkl"))
+        if (epoch + 1) % 50 == 0 or epoch == self.num_epochs - 1:
+            self.save_checkpoint(join(self.output_folder, "checkpoint_latest.pkl"))
+        try:
+            self.logger.plot_progress_png(self.output_folder)
+        except Exception as e:  # plotting must never kill training
+            self.print_to_log_file(f"progress.png failed: {e}")
+
+    def on_train_end(self):
+        self.save_checkpoint(join(self.output_folder, "checkpoint_final.pkl"))
+        if self.dataloader_train is not None:
+            pass  # prefetch threads are daemonic
+        self.print_to_log_file("Training done.")
+
+    # ---------------------------------------------------------- checkpointing
+
+    def save_checkpoint(self, filename: str):
+        """Reference checkpoint dict (:1068-1091), minus GradScaler (no AMP)."""
+        state = jax.device_get(self.state)
+        checkpoint = {
+            "network_weights": flax.serialization.to_state_dict(state.params),
+            "opt_state": flax.serialization.to_state_dict(state.opt_state),
+            "step": int(state.step),
+            "logging": self.logger.get_checkpoint(),
+            "_best_ema": self._best_ema,
+            "current_epoch": self.current_epoch,
+            "init_args": {"configuration": self.configuration_name,
+                          "fold": self.fold},
+            "trainer_name": self.__class__.__name__,
+            "inference_allowed_mirroring_axes":
+                self.inference_allowed_mirroring_axes,
+        }
+        with open(filename, "wb") as f:
+            pickle.dump(checkpoint, f)
+
+    def load_checkpoint(self, filename_or_checkpoint: Union[str, dict]):
+        if not self.was_initialized:
+            self.initialize()
+        ckpt = filename_or_checkpoint
+        if isinstance(ckpt, str):
+            with open(ckpt, "rb") as f:
+                ckpt = pickle.load(f)
+        params = flax.serialization.from_state_dict(
+            self.state.params, ckpt["network_weights"])
+        opt_state = flax.serialization.from_state_dict(
+            self.state.opt_state, ckpt["opt_state"])
+        self.state = TrainState(params=params, opt_state=opt_state,
+                                step=jnp.asarray(ckpt["step"], jnp.int32))
+        self.logger.load_checkpoint(ckpt["logging"])
+        self._best_ema = ckpt["_best_ema"]
+        # stored value is the next epoch to run (save happens pre-increment)
+        self.current_epoch = ckpt["current_epoch"]
+        self.inference_allowed_mirroring_axes = \
+            ckpt.get("inference_allowed_mirroring_axes")
+
+    # ------------------------------------------------------------- validation
+
+    def perform_actual_validation(self, save_probabilities: bool = False):
+        """Sliding-window predict every val case + metrics
+        (reference :1131-1258)."""
+        from ..inference.predictor import MVDSegPredictor
+        from ..evaluation.evaluate import compute_metrics_on_folder_simple
+
+        self.initialize()
+        _, val_keys = self.do_split()
+        dataset = MVDSegDataset(self.preprocessed_dataset_folder, val_keys)
+        output_folder = join(self.output_folder, "validation")
+        maybe_mkdir_p(output_folder)
+
+        predictor = MVDSegPredictor(
+            tile_step_size=0.5, use_gaussian=True, use_mirroring=True,
+            allowed_mirroring_axes=self.inference_allowed_mirroring_axes)
+        predictor.manual_initialization(
+            self.network, self.plans_manager, self.configuration_manager,
+            [jax.device_get(self.state.params)], self.dataset_json,
+            self.__class__.__name__, self.inference_allowed_mirroring_axes)
+
+        rw = self.plans_manager.image_reader_writer_class()
+        for k in dataset.keys():
+            data, seg, properties = dataset.load_case(k)
+            data = np.asarray(data)
+            logits = predictor.predict_preprocessed_case(data)
+            from ..inference.export import export_prediction_from_logits
+            export_prediction_from_logits(
+                logits, properties, self.configuration_manager,
+                self.plans_manager, self.dataset_json,
+                join(output_folder, k + self.dataset_json["file_ending"]))
+        # evaluate against raw labels
+        gt_folder = join(paths.get_raw(), self.plans_manager.dataset_name,
+                         "labelsTr")
+        metrics = compute_metrics_on_folder_simple(
+            gt_folder, output_folder, self.dataset_json,
+            [k for k in dataset.keys()])
+        save_json(metrics, join(output_folder, "summary.json"))
+        self.print_to_log_file(
+            f"Validation mean fg Dice: {metrics['foreground_mean']['Dice']:.4f}")
+        return metrics
+
+
+# legacy alias matching the reference trainer name
+nnUNetTrainer = MVDSegTrainer

@@ -2,11 +2,17 @@ import os
 
 # Tests run on a simulated 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver benches on the real chip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# this image's sitecustomize imports jax (axon TPU backend) at interpreter
+# start, before conftest runs — env vars alone are too late. Platform
+# selection is lazy, so the config update still wins if no computation ran.
+import jax
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
