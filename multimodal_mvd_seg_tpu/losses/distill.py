@@ -16,8 +16,10 @@ def kl_loss_compute1(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     """Symmetric per-voxel KL between two probability maps in [0,1]
     (Bernoulli KL on the vessel channel), mean-reduced. Gradients flow into
     both branches — that is what makes the distillation *mutual*."""
-    p1 = jnp.clip(p1.astype(jnp.float32), _EPS, 1.0 - _EPS)
-    p2 = jnp.clip(p2.astype(jnp.float32), _EPS, 1.0 - _EPS)
+    # 1e-6, not 1e-8: float32 rounds 1-1e-8 back to 1.0 → log(0) = -inf
+    eps = 1e-6
+    p1 = jnp.clip(p1.astype(jnp.float32), eps, 1.0 - eps)
+    p2 = jnp.clip(p2.astype(jnp.float32), eps, 1.0 - eps)
 
     def bern_kl(a, b):
         return a * (jnp.log(a) - jnp.log(b)) + \
@@ -61,3 +63,22 @@ def l2_loss(a: jnp.ndarray, b: jnp.ndarray, channelwise_kl: bool = False
     if channelwise_kl:
         return distill_kl(a, b, temperature=1.0)
     return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+
+
+def contrast_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
+                  negatives: jnp.ndarray, temp_fac: float = 0.1) -> jnp.ndarray:
+    """InfoNCE with cosine similarities — reconstruction of the reference's
+    sketch at other_loss.py:41-48 (which references undefined globals):
+    -log exp(sim(a,p)/t) / (exp(sim(a,p)/t) + Σᵢ exp(sim(a,nᵢ)/t)).
+    anchor/positive: (N, F); negatives: (K, N, F) or (N, F)."""
+    def cos(u, v):
+        u = u / jnp.clip(jnp.linalg.norm(u, axis=-1, keepdims=True), _EPS)
+        v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
+        return (u * v).sum(-1)
+
+    if negatives.ndim == anchor.ndim:
+        negatives = negatives[None]
+    pos = jnp.exp(cos(anchor, positive) / temp_fac)
+    neg = jnp.exp(jax.vmap(lambda n: cos(anchor, n))(negatives)
+                  / temp_fac).sum(0)
+    return jnp.mean(-jnp.log(pos / jnp.clip(pos + neg, _EPS)))

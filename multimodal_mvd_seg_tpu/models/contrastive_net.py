@@ -1,0 +1,176 @@
+"""ContrastiveNet — the MVD paper's dual-branch network (flax, channels-last).
+
+TPU-native re-design of reference
+my_network/my_network/HybridNetwork.py:1364-1578 (ContrastiveNet):
+
+- shared 2-channel UNETR++ transformer encoder (UnetrPPEncoderv1 layout:
+  dims [32,64,128,512], stem stride (2,2,2), stage-3 downsample (2,4,4));
+- bottleneck channel-split 256/256 into the T2 and TOF branches (:1547);
+- per-branch UNETR++ decoder chains with additive skips from the shared
+  hidden states and a full-resolution UnetResBlock stem computed on the T2
+  channel (:1410-1417,1548);
+- 3 deep-supervision heads per branch (:1493-1499,1565-1567);
+- projection/prediction MLP heads (16→16, BN+ReLU) and 2×num_classes
+  learned sigmoid "selector" MLPs (:1500-1542) used by the contrastive
+  memory machinery (losses/contrastive.py, losses/feature_memory.py).
+
+The reference forward has a known bug — branch 2's decoder chain feeds
+branch 1's activations (dec3/dec2/dec1 instead of dec3_/dec2_/dec1_ at
+HybridNetwork.py:1562-1564, SURVEY.md §0). We implement the intended
+wiring: each branch consumes its own activations.
+
+``__call__(data, train)`` returns ``(logits_list1, logits_list2, fea1,
+fea2)`` when ``do_ds`` (lists finest-first, channels-last logits in fp32)
+and the branch-1 full-resolution logits otherwise. The auxiliary heads are
+reachable through ``method=``-dispatch: ``project``, ``predict`` and
+``selector_scores`` (see MVD trainer).
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .unetrpp import (UnetOutBlock, UnetResBlock, UnetrPPEncoder,
+                      UnetrUpBlock)
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class MLPHead(nn.Module):
+    """Linear → BatchNorm → ReLU → Linear over feature rows (N, F).
+
+    Matches the reference's nn.Sequential(Linear, BatchNorm1d, ReLU, Linear)
+    projection/prediction heads (HybridNetwork.py:1500-1525). BatchNorm
+    statistics are computed over the row axis; ``train=False`` uses the
+    running averages (the reference inserts memory features under
+    eval-mode heads, MVDTrainer.py:949-953).
+    """
+    features: int
+    out_features: int
+    negative_slope: float = 0.0  # 0 → ReLU; selectors use LeakyReLU(0.2)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        x = x.astype(jnp.float32)
+        x = nn.Dense(self.features, kernel_init=_trunc02, name="fc1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        x = nn.leaky_relu(x, negative_slope=self.negative_slope) \
+            if self.negative_slope else nn.relu(x)
+        return nn.Dense(self.out_features, kernel_init=_trunc02,
+                        name="fc2")(x)
+
+
+class ContrastiveNet(nn.Module):
+    input_channels: int = 2
+    num_classes: int = 4
+    feature_size: int = 16
+    num_heads: int = 4
+    depths: Sequence[int] = (3, 3, 3, 3)
+    encoder_dims: Sequence[int] = (32, 64, 128, 512)
+    proj_size: Sequence[int] = (64, 64, 64, 32)
+    do_ds: bool = True
+    feat_dim: int = 16  # projection/prediction/selector width (dim_in=16)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        fs = self.feature_size
+        self.share_encoder = UnetrPPEncoder(
+            dims=tuple(self.encoder_dims), proj_size=tuple(self.proj_size),
+            depths=tuple(self.depths), num_heads=self.num_heads,
+            in_channels=self.input_channels, stem_stride=(2, 2, 2),
+            stage_strides=((2, 2, 2), (2, 2, 2), (2, 4, 4)),
+            dtype=self.dtype)
+        # full-resolution stem on the T2 channel
+        self.encoder1 = UnetResBlock(fs, kernel_size=3, dtype=self.dtype)
+
+        def up(out_ch, stride, conv_decoder=False, proj=64):
+            return UnetrUpBlock(out_channels=out_ch, upsample_stride=stride,
+                                proj_size=proj, num_heads=self.num_heads,
+                                conv_decoder=conv_decoder, dtype=self.dtype)
+
+        # branch 1 (T2): 256 → 128 → 64 → 32 → 16
+        self.decoder5 = up(fs * 8, (2, 4, 4))
+        self.decoder4 = up(fs * 4, (2, 2, 2))
+        self.decoder3 = up(fs * 2, (2, 2, 2))
+        self.decoder2 = up(fs, (2, 2, 2), conv_decoder=True)
+        # branch 2 (TOF)
+        self.decoder5_ = up(fs * 8, (2, 4, 4))
+        self.decoder4_ = up(fs * 4, (2, 2, 2))
+        self.decoder3_ = up(fs * 2, (2, 2, 2))
+        self.decoder2_ = up(fs, (2, 2, 2), conv_decoder=True)
+
+        self.out1 = UnetOutBlock(self.num_classes)
+        self.out1_ = UnetOutBlock(self.num_classes)
+        if self.do_ds:
+            self.out2 = UnetOutBlock(self.num_classes)
+            self.out3 = UnetOutBlock(self.num_classes)
+            self.out2_ = UnetOutBlock(self.num_classes)
+            self.out3_ = UnetOutBlock(self.num_classes)
+
+        fd = self.feat_dim
+        self.projection_head1 = MLPHead(fd, fd)
+        self.projection_head2 = MLPHead(fd, fd)
+        self.prediction_head1 = MLPHead(fd, fd)
+        self.prediction_head2 = MLPHead(fd, fd)
+        self.selectors = [MLPHead(fd, 1, negative_slope=0.2,
+                                  name=f"contrastive_class_selector_{c}")
+                          for c in range(self.num_classes)]
+        self.selectors_memory = [
+            MLPHead(fd, 1, negative_slope=0.2,
+                    name=f"contrastive_class_selector_memory{c}")
+            for c in range(self.num_classes)]
+
+    def __call__(self, data, *, train: bool = True):
+        bottleneck, hidden = self.share_encoder(data, train=train)
+        half = bottleneck.shape[-1] // 2
+        fea1, fea2 = bottleneck[..., :half], bottleneck[..., half:]
+        stem = self.encoder1(data[..., 0:1], train=train)
+        enc1, enc2, enc3 = hidden[0], hidden[1], hidden[2]
+
+        dec3 = self.decoder5(fea1, enc3, train=train)
+        dec2 = self.decoder4(dec3, enc2, train=train)
+        dec1 = self.decoder3(dec2, enc1, train=train)
+        out = self.decoder2(dec1, stem, train=train)
+
+        dec3_ = self.decoder5_(fea2, enc3, train=train)
+        dec2_ = self.decoder4_(dec3_, enc2, train=train)
+        dec1_ = self.decoder3_(dec2_, enc1, train=train)
+        out_ = self.decoder2_(dec1_, stem, train=train)
+
+        if self.do_ds:
+            logits = [self.out1(out), self.out2(dec1), self.out3(dec2)]
+            logits_ = [self.out1_(out_), self.out2_(dec1_), self.out3_(dec2_)]
+            return logits, logits_, out, out_
+        return self.out1(out)
+
+    def init_all(self, data, *, train: bool = False):
+        """Initialization entry point: traces the dual forward AND every
+        auxiliary head so ``init(..., method="init_all")`` creates all
+        parameters (flax only materializes params for traced modules)."""
+        out = self(data, train=train)
+        dummy = jnp.zeros((2, self.feat_dim), jnp.float32)
+        for branch in (1, 2):
+            proj = self.project(dummy, branch, train=train)
+            self.predict(proj, branch, train=train)
+        self.selector_scores(dummy, memory=False, train=train)
+        self.selector_scores(dummy, memory=True, train=train)
+        return out
+
+    # ---- auxiliary heads (invoked via network.apply(..., method=...)) ----
+
+    def project(self, feats, branch: int, *, train: bool = True):
+        """Projection head on feature rows (N, feat_dim); branch 1=T2, 2=TOF."""
+        head = self.projection_head1 if branch == 1 else self.projection_head2
+        return head(feats, train=train)
+
+    def predict(self, feats, branch: int, *, train: bool = True):
+        head = self.prediction_head1 if branch == 1 else self.prediction_head2
+        return head(feats, train=train)
+
+    def selector_scores(self, feats, *, memory: bool = False,
+                        train: bool = True):
+        """Stacked per-class selector logits: (num_classes, N, 1)."""
+        heads = self.selectors_memory if memory else self.selectors
+        return jnp.stack([h(feats, train=train) for h in heads], 0)

@@ -55,6 +55,27 @@ def get_network_from_plans(plans_manager: PlansManager,
     )
 
 
+def get_dual_network_from_plans(plans_manager: PlansManager,
+                                dataset_json: dict,
+                                configuration_manager: ConfigurationManager,
+                                num_input_channels: int,
+                                deep_supervision: bool = True):
+    """Build the MVD dual-branch ContrastiveNet from plans. Mirrors the
+    hard-coded construction at reference get_network_from_plans.py:94-242
+    (feature_size=16, num_heads=4, InstanceNorm+LeakyReLU, do_ds from
+    deep_supervision). Patch sizes must be divisible by the encoder's total
+    downsampling (16, 32, 32) — the MVD plan's 64×128×256 patch is."""
+    from .contrastive_net import ContrastiveNet
+    label_manager = plans_manager.get_label_manager(dataset_json)
+    return ContrastiveNet(
+        input_channels=num_input_channels,
+        num_classes=label_manager.num_segmentation_heads,
+        feature_size=16,
+        num_heads=4,
+        do_ds=deep_supervision,
+    )
+
+
 def build_network_and_params(plans_manager: PlansManager, dataset_json: dict,
                              configuration_manager: ConfigurationManager,
                              rng: Optional[jax.Array] = None,

@@ -1,0 +1,290 @@
+"""UNETR++-style building blocks (flax.linen, channels-last).
+
+TPU-native reconstruction of the reference's missing
+``nnunetv2.training.my_network.UNetRPP.{dynunet_block,model_components,
+transformer_block,layers}`` modules (imported at reference
+my_network/my_network/HybridNetwork.py:6-10; SURVEY.md §0) from UNETR++
+semantics and from how the call sites use them:
+
+- ``UnetResBlock``  — conv→norm→lrelu ×2 + residual (1×1 projection when
+  channels/stride change).
+- ``UnetOutBlock``  — 1×1 segmentation head.
+- ``EPA``           — efficient paired attention: shared-q/k channel
+  attention (per-head learned temperature) + spatial attention with the
+  token axis projected to ``proj_size``; the two halves are fused by
+  concatenation of two hidden//2 projections.
+- ``TransformerBlock`` — tokens = flattened volume (+learned pos-embed),
+  pre-LN EPA with layer-scale gamma, then a conv refinement
+  (UnetResBlock + dropout-1×1-conv residual).
+- ``UnetrPPEncoder``/``UnetrPPEncoderv1`` — conv stem + 3 conv downsamples
+  (group-norm) with a stack of TransformerBlocks per stage; v1 uses stem
+  stride (2,2,2) and stage-3 downsample (2,4,4)
+  (reference HybridNetwork.py:1651-1740).
+- ``UnetrUpBlock``  — transposed-conv upsample + additive skip + either a
+  UnetResBlock (conv_decoder) or TransformerBlocks.
+
+Everything is channels-last (B, D, H, W, C): XLA's native TPU conv layout.
+Attention matmuls run on the MXU in bf16 with fp32 accumulation
+(preferred_element_type) and fp32 softmax.
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class UnetResBlock(nn.Module):
+    """conv-norm-lrelu, conv-norm, residual add (+1x1 proj), lrelu."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    norm: str = "instance"  # instance | batch
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def _norm(self, x, name, train):
+        if self.norm == "batch":
+            return nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                                momentum=0.9, dtype=jnp.float32, name=name)(x)
+        return nn.InstanceNorm(epsilon=1e-5, dtype=jnp.float32, name=name)(x)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        dim = x.ndim - 2
+        k = (self.kernel_size,) * dim
+        s = (self.stride,) * dim
+        y = nn.Conv(self.features, k, strides=s, padding="SAME",
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.leaky_relu(self._norm(y, "norm1", train), negative_slope=0.01)
+        y = nn.Conv(self.features, k, padding="SAME", dtype=self.dtype,
+                    name="conv2")(y.astype(self.dtype))
+        y = self._norm(y, "norm2", train)
+        if x.shape[-1] != self.features or self.stride != 1:
+            x = nn.Conv(self.features, (1,) * dim, strides=s,
+                        dtype=self.dtype, name="conv3")(x)
+            x = self._norm(x, "norm3", train)
+        out = nn.leaky_relu(y + x.astype(y.dtype), negative_slope=0.01)
+        return out.astype(self.dtype)
+
+
+class UnetOutBlock(nn.Module):
+    """1x1x1 segmentation head; logits in fp32."""
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.ndim - 2
+        return nn.Conv(self.num_classes, (1,) * dim, dtype=jnp.float32,
+                       name="conv")(x.astype(jnp.float32))
+
+
+class EPA(nn.Module):
+    """Efficient paired attention over tokens (B, N, C).
+
+    Channel branch: softmax((q̂ᵀ·k̂) * t) @ v_CA over the C/h × C/h gram.
+    Spatial branch: softmax((q · E(k)ᵀ) * t2) @ F(v_SA) with the token axis
+    of k and v projected N → proj_size (shared-weight projection, as in
+    UNETR++). Outputs fused by concat of two hidden//2 projections.
+    """
+    hidden_size: int
+    proj_size: int
+    num_heads: int = 4
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        B, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        qkvv = nn.DenseGeneral((4, h, hd), use_bias=False, dtype=self.dtype,
+                               kernel_init=_trunc02, name="qkvv")(x)
+        qkvv = qkvv.astype(jnp.float32)
+        # (B, N, 4, h, hd) → four (B, h, hd, N) channel-major tensors
+        q, k, v_ca, v_sa = [qkvv[:, :, i].transpose(0, 2, 3, 1)
+                            for i in range(4)]
+
+        # shared token-axis projection E=F: N → p (applied to last axis)
+        proj = self.param("proj_ef", _trunc02, (N, self.proj_size),
+                          jnp.float32)
+        k_proj = jnp.einsum("bhcn,np->bhcp", k, proj)
+        v_sa_proj = jnp.einsum("bhcn,np->bhcp", v_sa, proj)
+
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+
+        t_ca = self.param("temperature", nn.initializers.ones, (h, 1, 1),
+                          jnp.float32)
+        t_sa = self.param("temperature2", nn.initializers.ones, (h, 1, 1),
+                          jnp.float32)
+
+        # channel attention: (B,h,hd,hd)
+        attn_ca = jnp.einsum("bhcn,bhdn->bhcd", qn, kn) * t_ca
+        attn_ca = jax.nn.softmax(attn_ca, axis=-1)
+        attn_ca = nn.Dropout(self.dropout_rate, deterministic=not train,
+                             name="drop_ca")(attn_ca)
+        x_ca = jnp.einsum("bhcd,bhdn->bhcn", attn_ca, v_ca)
+        x_ca = x_ca.transpose(0, 3, 1, 2).reshape(B, N, C)
+
+        # spatial attention: (B,h,N,p)
+        attn_sa = jnp.einsum("bhcn,bhcp->bhnp", qn, k_proj) * t_sa
+        attn_sa = jax.nn.softmax(attn_sa, axis=-1)
+        attn_sa = nn.Dropout(self.dropout_rate, deterministic=not train,
+                             name="drop_sa")(attn_sa)
+        x_sa = jnp.einsum("bhnp,bhcp->bhcn", attn_sa, v_sa_proj)
+        x_sa = x_sa.transpose(0, 3, 1, 2).reshape(B, N, C)
+
+        out_ca = nn.Dense(C // 2, dtype=self.dtype, kernel_init=_trunc02,
+                          name="out_proj")(x_ca.astype(self.dtype))
+        out_sa = nn.Dense(C // 2, dtype=self.dtype, kernel_init=_trunc02,
+                          name="out_proj2")(x_sa.astype(self.dtype))
+        return jnp.concatenate([out_sa, out_ca], axis=-1)
+
+
+class TransformerBlock(nn.Module):
+    """Volume → tokens (+pos embed) → pre-LN EPA with layer scale → volume →
+    conv refinement (UnetResBlock + dropout 1×1 conv residual)."""
+    hidden_size: int
+    proj_size: int
+    num_heads: int = 4
+    dropout_rate: float = 0.1
+    pos_embed: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        B = x.shape[0]
+        spatial = x.shape[1:-1]
+        C = x.shape[-1]
+        N = 1
+        for s in spatial:
+            N *= s
+        tokens = x.reshape(B, N, C)
+        if self.pos_embed:
+            pe = self.param("pos_embed", nn.initializers.zeros, (1, N, C),
+                            jnp.float32)
+            tokens = tokens + pe.astype(tokens.dtype)
+        gamma = self.param("gamma",
+                           nn.initializers.constant(1e-6), (C,), jnp.float32)
+        normed = nn.LayerNorm(dtype=jnp.float32, name="norm")(tokens)
+        attn = EPA(self.hidden_size, self.proj_size, self.num_heads,
+                   self.dropout_rate, dtype=self.dtype,
+                   name="epa_block")(normed.astype(self.dtype), train=train)
+        tokens = tokens + gamma.astype(attn.dtype) * attn
+        vol = tokens.reshape(B, *spatial, C)
+        conv = UnetResBlock(C, kernel_size=3, norm="batch", dtype=self.dtype,
+                            name="conv51")(vol, train=train)
+        conv = nn.Dropout(0.1, deterministic=not train,
+                          name="drop8")(conv)
+        conv = nn.Conv(C, (1,) * len(spatial), dtype=self.dtype,
+                       name="conv8")(conv)
+        return (vol + conv).astype(self.dtype)
+
+
+class _DownsampleStage(nn.Module):
+    """strided conv + group norm (groups = conv input channels), then a stack
+    of TransformerBlocks."""
+    features: int
+    stride: Sequence[int]
+    depth: int
+    proj_size: int
+    num_heads: int
+    groups: int
+    transformer_dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        dim = x.ndim - 2
+        x = nn.Conv(self.features, tuple(self.stride),
+                    strides=tuple(self.stride), padding="VALID",
+                    dtype=self.dtype, kernel_init=_trunc02, name="down")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        for j in range(self.depth):
+            x = TransformerBlock(self.features, self.proj_size,
+                                 self.num_heads, self.transformer_dropout_rate,
+                                 pos_embed=True, dtype=self.dtype,
+                                 name=f"block{j}")(x, train=train)
+        return x
+
+
+class UnetrPPEncoder(nn.Module):
+    """4-stage conv-downsample + transformer encoder returning
+    (bottleneck, [hidden_states per stage]).
+
+    ``stem_stride``/``stage_strides`` parameterize the two reference layouts:
+    UnetrPPEncoder   — stem (2,4,4), stages (2,2,2)×3   (HybridNetwork.py:1581)
+    UnetrPPEncoderv1 — stem (2,2,2), stages (2,2,2),(2,2,2),(2,4,4) (:1651)
+    """
+    dims: Sequence[int] = (32, 64, 128, 256)
+    proj_size: Sequence[int] = (64, 64, 64, 32)
+    depths: Sequence[int] = (3, 3, 3, 3)
+    num_heads: int = 4
+    in_channels: int = 1
+    stem_stride: Sequence[int] = (2, 4, 4)
+    stage_strides: Sequence[Sequence[int]] = ((2, 2, 2), (2, 2, 2), (2, 2, 2))
+    transformer_dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        hidden_states = []
+        strides = [self.stem_stride] + [tuple(s) for s in self.stage_strides]
+        groups = [self.in_channels] + list(self.dims[:-1])
+        for i in range(4):
+            x = _DownsampleStage(
+                self.dims[i], strides[i], self.depths[i], self.proj_size[i],
+                self.num_heads, groups[i],
+                self.transformer_dropout_rate, dtype=self.dtype,
+                name=f"stage{i}")(x, train=train)
+            hidden_states.append(x)
+        return x, hidden_states
+
+
+def UnetrPPEncoderv1(dims=(32, 64, 128, 512), proj_size=(64, 64, 64, 32),
+                     depths=(3, 3, 3, 3), num_heads=4, in_channels=2,
+                     dtype=jnp.bfloat16, name=None):
+    """The ContrastiveNet encoder layout (reference HybridNetwork.py:1651-1740):
+    stem stride (2,2,2); stage-3 downsample (2,4,4)."""
+    return UnetrPPEncoder(dims=tuple(dims), proj_size=tuple(proj_size),
+                          depths=tuple(depths), num_heads=num_heads,
+                          in_channels=in_channels, stem_stride=(2, 2, 2),
+                          stage_strides=((2, 2, 2), (2, 2, 2), (2, 4, 4)),
+                          dtype=dtype, name=name)
+
+
+class UnetrUpBlock(nn.Module):
+    """Transposed-conv upsample + additive skip + decoder block
+    (UnetResBlock when ``conv_decoder`` else TransformerBlocks)."""
+    out_channels: int
+    upsample_stride: Sequence[int]
+    kernel_size: int = 3
+    proj_size: int = 64
+    num_heads: int = 4
+    depth: int = 3
+    conv_decoder: bool = False
+    norm: str = "instance"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool = True):
+        s = tuple(self.upsample_stride)
+        x = nn.ConvTranspose(self.out_channels, kernel_size=s, strides=s,
+                             dtype=self.dtype, kernel_init=_trunc02,
+                             name="transp_conv")(x)
+        x = x + skip.astype(x.dtype)
+        if self.conv_decoder:
+            x = UnetResBlock(self.out_channels, self.kernel_size,
+                             norm=self.norm, dtype=self.dtype,
+                             name="decoder_block")(x, train=train)
+        else:
+            for j in range(self.depth):
+                x = TransformerBlock(self.out_channels, self.proj_size,
+                                     self.num_heads, 0.1, pos_embed=True,
+                                     dtype=self.dtype,
+                                     name=f"decoder_block{j}")(x, train=train)
+        return x
