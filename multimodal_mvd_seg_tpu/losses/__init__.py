@@ -8,3 +8,7 @@ from .contrastive import contrastive_class_to_class_learned_memory
 from .feature_memory import (FeatureMemoryState, init_feature_memory,
                              elements_per_class, sample_class_rows,
                              add_features_learned)
+from .topo import (Topological_loss, TopoBarcodeLoss, topo_wasserstein,
+                   topo_critical_point_loss, topk_barcode_lengths)
+from .soft_skeleton import (soft_erode, soft_dilate, soft_open, soft_skel,
+                            soft_cldice_loss)

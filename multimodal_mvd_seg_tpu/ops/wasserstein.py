@@ -1,0 +1,93 @@
+"""Differentiable Wasserstein distance between persistence diagrams.
+
+Equivalent of torch_topological's ``WassersteinDistance`` as used by the MVD
+trainer (reference MVDTrainer.py:99?,919-923 — q=2 Wasserstein between the
+vessel-channel cubical diagrams of prediction and ground truth).
+
+Split the same way as the persistence bridge: the OPTIMAL MATCHING is
+combinatorial and runs on host (scipy linear_sum_assignment over the
+standard augmented cost matrix where unmatched points pair with their
+diagonal projection), returned as integer index arrays through
+``jax.pure_callback``; the LOSS is then assembled in JAX from the
+differentiable birth/death values, so gradients flow to the critical voxels
+of both diagrams. Fixed caps + masks keep shapes static.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _host_match(d1: np.ndarray, m1: np.ndarray, d2: np.ndarray,
+                m2: np.ndarray, q: float):
+    """Optimal partial matching between two diagrams.
+
+    d1 (n1,2), d2 (n2,2) float32 (birth, death); m1/m2 validity masks.
+    Returns match1 (n1,) int32: index into d2 or -1 (diagonal) or -2 (pad);
+            match2 (n2,) int32: -1 where d2[j] goes to the diagonal, else the
+            matching d1 row, -2 pad.
+    """
+    from scipy.optimize import linear_sum_assignment
+    i1 = np.flatnonzero(m1)
+    i2 = np.flatnonzero(m2)
+    n1, n2 = len(i1), len(i2)
+    match1 = np.full(d1.shape[0], -2, np.int32)
+    match2 = np.full(d2.shape[0], -2, np.int32)
+    match1[i1] = -1
+    match2[i2] = -1
+    if n1 + n2:
+        p1 = d1[i1].astype(np.float64)
+        p2 = d2[i2].astype(np.float64)
+        big = np.zeros((n1 + n2, n2 + n1))
+        if n1 and n2:
+            # L∞ ground metric, standard for diagram distances
+            big[:n1, :n2] = np.abs(p1[:, None, :] - p2[None, :, :]
+                                   ).max(-1) ** q
+        diag1 = (np.abs(p1[:, 1] - p1[:, 0]) / 2.0) ** q
+        diag2 = (np.abs(p2[:, 1] - p2[:, 0]) / 2.0) ** q
+        INF = 1e18
+        big[:n1, n2:] = INF
+        big[:n1, n2:][np.arange(n1), np.arange(n1)] = diag1
+        big[n1:, :n2] = INF
+        big[n1:, :n2][np.arange(n2), np.arange(n2)] = diag2
+        rows, cols = linear_sum_assignment(big)
+        for r, c in zip(rows, cols):
+            if r < n1 and c < n2:
+                match1[i1[r]] = i2[c]
+                match2[i2[c]] = i1[r]
+    return match1, match2
+
+
+@functools.partial(jax.jit, static_argnames=("q",))
+def wasserstein_distance(birth1, death1, mask1, birth2, death2, mask2,
+                         q: float = 2.0):
+    """q-Wasserstein distance (L∞ ground metric) between two padded
+    diagrams; differentiable w.r.t. all birth/death inputs."""
+    d1 = jnp.stack([birth1, death1], -1).astype(jnp.float32)
+    d2 = jnp.stack([birth2, death2], -1).astype(jnp.float32)
+
+    def cb(a1, k1, a2, k2):
+        return _host_match(np.asarray(a1), np.asarray(k1), np.asarray(a2),
+                           np.asarray(k2), q)
+
+    n1 = d1.shape[0]
+    n2 = d2.shape[0]
+    match1, match2 = jax.pure_callback(
+        cb,
+        (jax.ShapeDtypeStruct((n1,), jnp.int32),
+         jax.ShapeDtypeStruct((n2,), jnp.int32)),
+        jax.lax.stop_gradient(d1), mask1,
+        jax.lax.stop_gradient(d2), mask2, vmap_method="sequential")
+
+    # matched pairs: cost from row side only (avoids double counting)
+    partner = jnp.take(d2, jnp.clip(match1, 0), axis=0)
+    pair_cost = jnp.max(jnp.abs(d1 - partner), -1) ** q
+    diag1_cost = (jnp.abs(d1[:, 1] - d1[:, 0]) / 2.0) ** q
+    cost1 = jnp.where(match1 >= 0, pair_cost,
+                      jnp.where(match1 == -1, diag1_cost, 0.0))
+    diag2_cost = (jnp.abs(d2[:, 1] - d2[:, 0]) / 2.0) ** q
+    cost2 = jnp.where(match2 == -1, diag2_cost, 0.0)
+    total = cost1.sum() + cost2.sum()
+    return total ** (1.0 / q)
