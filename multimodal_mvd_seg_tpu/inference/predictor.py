@@ -127,10 +127,16 @@ class MVDSegPredictor:
             axes_combos = [c for n in range(len(ax) + 1)
                            for c in itertools.combinations(ax, n)]
         out = None
+        # params_list entries are either bare param trees or full flax
+        # variables dicts (e.g. {"params", "batch_stats"} for networks with
+        # BatchNorm such as ContrastiveNet)
+        variables = params if "params" in params else {"params": params}
         for combo in axes_combos:
             t = jnp.flip(tiles, combo) if combo else tiles
-            o = net.apply({"params": params}, t.astype(jnp.bfloat16), train=False)
-            if isinstance(o, (list, tuple)):
+            o = net.apply(variables, t.astype(jnp.bfloat16), train=False)
+            while isinstance(o, (list, tuple)):
+                # deep-supervision list → finest head; dual-branch tuple
+                # (logits1, logits2, fea1, fea2) → branch-1 logits
                 o = o[0]
             o = jnp.flip(o, combo) if combo else o
             out = o if out is None else out + o

@@ -1,0 +1,143 @@
+"""Training orchestration.
+
+Parity: reference nnunetv2/run/run_training.py (:32-409) — resolve the
+trainer class by name, load plans/dataset.json, build the trainer,
+optionally resume/load pretrained weights, train, then run the final
+validation.
+
+TPU re-design (reference :152-231): no process spawning and no NCCL — data
+parallelism is a ``jax.sharding.Mesh`` over the visible devices inside ONE
+process (``num_devices`` limits the data axis; XLA inserts the gradient
+psums). Multi-host runs initialize ``jax.distributed`` from the environment
+instead of MASTER_ADDR/mp.spawn.
+"""
+
+from typing import Optional, Union
+
+from .. import paths
+from ..plans.plans_handler import PlansManager
+from ..training.registry import get_trainer_class
+from ..utils.dataset_naming import maybe_convert_to_dataset_name
+from ..utils.files import isfile, join, load_json
+
+
+def get_trainer_from_args(dataset_name_or_id: Union[int, str],
+                          configuration: str, fold: Union[int, str],
+                          trainer_name: str = "MVDSegTrainer",
+                          plans_identifier: str = "nnUNetPlans",
+                          specified_cfg: Optional[str] = None,
+                          device: str = "auto"):
+    """reference run_training.py:32-70."""
+    trainer_class = get_trainer_class(trainer_name)
+    dataset_name = maybe_convert_to_dataset_name(dataset_name_or_id)
+    preprocessed = join(paths.get_preprocessed(), dataset_name)
+    plans_file = join(preprocessed, plans_identifier + ".json")
+    assert isfile(plans_file), (
+        f"plans file missing: {plans_file} — run mvdseg_plan_and_preprocess "
+        f"first")
+    plans = load_json(plans_file)
+    dataset_json = load_json(join(preprocessed, "dataset.json"))
+    return trainer_class(plans, configuration, fold, dataset_json,
+                         device=device, specified_cfg=specified_cfg)
+
+
+def maybe_load_checkpoint(trainer, continue_training: bool,
+                          validation_only: bool,
+                          pretrained_weights_file: Optional[str] = None):
+    """reference run_training.py:121-149: --c picks final→latest→best."""
+    if continue_training and pretrained_weights_file is not None:
+        raise RuntimeError("Cannot both continue a training AND load "
+                           "pretrained weights.")
+    expected = None
+    if continue_training:
+        for name in ("checkpoint_final.pkl", "checkpoint_latest.pkl",
+                     "checkpoint_best.pkl"):
+            if isfile(join(trainer.output_folder, name)):
+                expected = join(trainer.output_folder, name)
+                break
+        if expected is None:
+            print("WARNING: Cannot continue training - no checkpoint found. "
+                  "Starting a new training...")
+    elif validation_only:
+        expected = join(trainer.output_folder, "checkpoint_final.pkl")
+        if not isfile(expected):
+            raise RuntimeError(
+                "Cannot run validation because the training is not finished "
+                f"yet! Missing: {expected}")
+    elif pretrained_weights_file is not None:
+        trainer.initialize()
+        load_pretrained_weights(trainer, pretrained_weights_file)
+    if expected is not None:
+        trainer.load_checkpoint(expected)
+
+
+def load_pretrained_weights(trainer, weights_file: str):
+    """Load matching-shape parameters from another checkpoint (reference
+    run_training.py pretrained-weights path + load_pretrained_weights)."""
+    import pickle
+    import flax
+    import numpy as np
+    with open(weights_file, "rb") as f:
+        ckpt = pickle.load(f)
+    source = ckpt["network_weights"] if "network_weights" in ckpt else ckpt
+    target = flax.serialization.to_state_dict(trainer.state.params)
+
+    def merge(dst, src, path=""):
+        loaded, skipped = 0, 0
+        for k, v in dst.items():
+            if k not in src:
+                skipped += 1
+                continue
+            if isinstance(v, dict):
+                l, s = merge(v, src[k], path + "/" + k)
+                loaded += l
+                skipped += s
+            elif np.shape(v) == np.shape(src[k]):
+                dst[k] = src[k]
+                loaded += 1
+            else:
+                skipped += 1
+        return loaded, skipped
+
+    loaded, skipped = merge(target, source)
+    params = flax.serialization.from_state_dict(trainer.state.params, target)
+    trainer.state = trainer.state.replace(params=params)
+    trainer.print_to_log_file(
+        f"Loaded pretrained weights from {weights_file}: {loaded} tensors "
+        f"taken, {skipped} skipped (shape/name mismatch)")
+
+
+def run_training(dataset_name_or_id: Union[int, str], configuration: str,
+                 fold: Union[int, str],
+                 trainer_name: str = "MVDSegTrainer",
+                 plans_identifier: str = "nnUNetPlans",
+                 pretrained_weights: Optional[str] = None,
+                 num_devices: Optional[int] = None,
+                 export_validation_probabilities: bool = False,
+                 continue_training: bool = False,
+                 only_run_validation: bool = False,
+                 disable_checkpointing: bool = False,
+                 val_with_best: bool = False,
+                 specified_cfg: Optional[str] = None,
+                 device: str = "auto"):
+    """reference run_training.py:186-252."""
+    if isinstance(fold, str) and fold != "all":
+        fold = int(fold)
+
+    trainer = get_trainer_from_args(dataset_name_or_id, configuration, fold,
+                                    trainer_name, plans_identifier,
+                                    specified_cfg, device)
+    if num_devices is not None:
+        trainer.n_data_parallel = num_devices
+    if disable_checkpointing:
+        trainer.save_checkpoint = lambda *a, **k: None
+
+    maybe_load_checkpoint(trainer, continue_training, only_run_validation,
+                          pretrained_weights)
+    if not only_run_validation:
+        trainer.run_training()
+    if val_with_best:
+        trainer.load_checkpoint(join(trainer.output_folder,
+                                     "checkpoint_best.pkl"))
+    return trainer.perform_actual_validation(
+        save_probabilities=export_validation_probabilities)

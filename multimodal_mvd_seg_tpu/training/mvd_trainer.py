@@ -1,0 +1,393 @@
+"""ContrastiveTrainer — the MVD paper's dual-branch trainer.
+
+Parity: reference nnunetv2/training/nnUNetTrainer/MVDTrainer.py:76-1343
+(ContrastiveTrainer), re-designed as ONE pjit-compiled train step containing
+the full per-step pipeline (reference train_step :879-985):
+
+  loss = DS(Dice+CE)(out1) + DS(Dice+CE)(out2)
+       + λ3 · Wasserstein(cubical dgm of pred vessel, dgm of GT vessel)
+       + λ1 · symmetric-KL(vessel prob₁, vessel prob₂)
+       [epoch > 50]  insert high-confidence correct voxels' projected
+                     features into the class-wise memory bank (:927-955)
+       [epoch ≥ 100] + λ2 · (contrastive₁ + contrastive₂)  (:957-972)
+
+λ1=0.5, λ2=0.1, λ3=1 (:132-134); SGD nesterov lr 1e-2 m=0.99 wd 3e-5,
+PolyLR, 250 it/epoch, 50 val it, 200 epochs (:161-166,482-486).
+
+TPU re-design decisions (each is a deliberate deviation from the CUDA/torch
+structure, not an omission):
+- the epoch-staged curriculum is a *dynamic* scalar input gated with
+  lax.cond — one compiled step for all 200 epochs, no recompiles;
+- the data-dependent boolean gathers (:945-948) become fixed-cap per-class
+  masked samples (losses/feature_memory.sample_class_rows);
+- the memory bank lives in the TrainState (device HBM), updated inside the
+  same jit — no host round trips;
+- the "projection head under no_grad with eval-mode BN" insert semantics
+  (:949-953) = stop_gradient + use_running_average heads here;
+- the topo loss runs the cubical persistence + optimal matching on host
+  (the reference pays the same CPU cost through gudhi/torch_topological)
+  with the vessel maps average-pooled by ``topo_pool`` first — the
+  documented speed knob; gradients reach the critical voxels by gather;
+- branch-2's contrastive call mirrors the reference's num_classes=2
+  argument (:971 — deliberate mirror of the shipped behavior, see
+  ``contra_classes_branch2``).
+
+Known reference bugs NOT copied (SURVEY.md §0): undefined logits1/logits2
+(:897-898 — we use the actual outputs), the commented-out-yet-used
+self.topo_loss (:100/920 — ours exists), and branch-2 decoder wiring.
+"""
+
+from typing import Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..losses.contrastive import contrastive_class_to_class_learned_memory
+from ..losses.distill import kl_loss_compute1
+from ..losses.feature_memory import (add_features_learned, elements_per_class,
+                                     init_feature_memory, sample_class_rows)
+from ..losses.topo import topo_wasserstein
+from ..models.factory import get_dual_network_from_plans
+from ..data.augment import augment_batch, downsample_seg_for_ds
+from .trainer import MVDSegTrainer
+
+
+@flax.struct.dataclass
+class MVDTrainState:
+    params: dict
+    batch_stats: dict
+    opt_state: tuple
+    step: jnp.ndarray
+    memory: jnp.ndarray        # (C, M, F) feature memory bank
+    memory_valid: jnp.ndarray  # (C, M)
+
+
+class ContrastiveTrainer(MVDSegTrainer):
+    """Dual-branch (T2+TOF) trainer with mutual distillation, topological
+    constraint and class-wise contrastive memory."""
+
+    # curriculum thresholds (reference :927,:957)
+    memory_start_epoch = 50
+    contrastive_start_epoch = 100
+
+    def __init__(self, plans: dict, configuration: str, fold: int,
+                 dataset_json: dict, unpack_data: bool = True,
+                 device: str = "auto", specified_cfg: Optional[str] = None):
+        super().__init__(plans, configuration, fold, dataset_json,
+                         unpack_data, device, specified_cfg)
+        self.lambda1 = 0.5
+        self.lambda2 = 0.1
+        self.lambda3 = 1.0
+        self.num_epochs = 200
+        # vessel channel compared by KL/topo (reference hardcodes index 2)
+        self.vessel_class = min(2, self.label_manager.num_segmentation_heads - 1)
+        self.topo_feat_d = 2
+        # memory bank geometry (reference FeatureMemory(num_samples=60,
+        # memory_per_class=256, n_classes=5); feature width = the net's
+        # 16-dim projection space, which is what actually flows in)
+        self.memory_per_class = 256
+        self.memory_num_samples = 60
+        self.feat_dim = 16
+        # fixed caps replacing data-dependent gathers
+        self.memory_candidates_per_class = 256
+        self.contrastive_rows_per_class = 256
+        self.contra_classes_branch2 = 2
+        # average-pool factors applied to the vessel maps before cubical
+        # persistence; None disables the topo term entirely
+        self.topo_pool: Optional[tuple] = None  # set in initialize()
+        self.enable_topo_loss = True
+        self.topo_cap = 256
+
+    def build_network_architecture(self, deep_supervision: bool = True):
+        return get_dual_network_from_plans(
+            self.plans_manager, self.dataset_json, self.configuration_manager,
+            self.num_input_channels, deep_supervision=deep_supervision)
+
+    def _ds_scales(self):
+        """ContrastiveNet has 3 fixed deep-supervision heads at full, 1/2
+        and 1/4 resolution (HybridNetwork.py:1493-1499,1565-1567)."""
+        dim = len(self.configuration_manager.patch_size)
+        return [(1.0,) * dim, (0.5,) * dim, (0.25,) * dim]
+
+    # ------------------------------------------------------------------ setup
+
+    def initialize(self):
+        if self.was_initialized:
+            return
+        patch = tuple(self.configuration_manager.patch_size)
+        if self.topo_pool is None:
+            # pool each axis down to ≤32 voxels for the per-step topo term
+            self.topo_pool = tuple(max(1, p // 32) for p in patch)
+        super().initialize()
+
+    def _init_state(self, params, extra_variables):
+        n_classes = self.label_manager.num_segmentation_heads
+        mem = init_feature_memory(n_classes, self.memory_per_class,
+                                  self.feat_dim)
+        return MVDTrainState(
+            params=params,
+            batch_stats=extra_variables.get("batch_stats", {}),
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            memory=mem.memory, memory_valid=mem.valid)
+
+    # base-class initialize() hookpoints -------------------------------------
+
+    def _init_network_state(self):
+        patch = tuple(self.configuration_manager.patch_size)
+        dummy = jnp.zeros((1, *patch, self.num_input_channels), jnp.bfloat16)
+        variables = self.network.init(self._next_rng(), dummy, train=False,
+                                      method="init_all")
+        return self._init_state(variables["params"], variables)
+
+    # ------------------------------------------------------------- jit steps
+
+    def _apply_heads(self, params, batch_stats, rows, branch):
+        """projection→prediction on (C, K, F) rows with eval-mode BN."""
+        variables = {"params": params, "batch_stats": batch_stats}
+        flat = rows.reshape(-1, self.feat_dim)
+        proj = self.network.apply(variables, flat, branch, train=False,
+                                  method="project")
+        pred = self.network.apply(variables, proj, branch, train=False,
+                                  method="predict")
+        C = rows.shape[0]
+        return (proj.reshape(C, -1, self.feat_dim),
+                pred.reshape(C, -1, self.feat_dim))
+
+    def _class_selector_scores(self, params, batch_stats, rows, memory: bool):
+        """Per-class selector score of each class's own rows: (C, K)."""
+        variables = {"params": params, "batch_stats": batch_stats}
+        C, K, F = rows.shape
+        scores = self.network.apply(variables, rows.reshape(-1, F),
+                                    memory=memory, train=False,
+                                    method="selector_scores")  # (C, C*K, 1)
+        scores = scores.reshape(C, C, K)
+        return jax.vmap(lambda c: scores[c, c])(jnp.arange(C))
+
+    def _memory_insert(self, state: MVDTrainState, key, out1, out2,
+                       fea1, fea2, seg):
+        """Insert high-confidence correctly-predicted voxels' projected
+        features (both branches) into the memory (reference :927-955)."""
+        n_classes = self.label_manager.num_segmentation_heads
+        n_push = elements_per_class(self.configuration_manager.batch_size,
+                                    self.memory_per_class,
+                                    self.memory_num_samples)
+        mem = state.memory
+        val = state.memory_valid
+        seg_flat = seg.reshape(-1)
+        for branch, out, fea in ((1, out1, fea1), (2, out2, fea2)):
+            prob = jax.nn.softmax(out[0].astype(jnp.float32), -1)
+            conf = jnp.max(prob, -1)
+            lab = jnp.argmax(prob, -1)
+            correct = ((lab == seg) & (conf > 0.9)).reshape(-1)
+            key, sub = jax.random.split(key)
+            idx, mask = sample_class_rows(
+                sub, seg_flat, correct, n_classes,
+                self.memory_candidates_per_class)
+            rows = jax.lax.stop_gradient(
+                fea.reshape(-1, self.feat_dim)[idx].astype(jnp.float32))
+            proj, _ = self._apply_heads(state.params, state.batch_stats,
+                                        rows, branch)
+            proj = jax.lax.stop_gradient(proj)
+            scores = jax.lax.stop_gradient(self._class_selector_scores(
+                state.params, state.batch_stats, proj, memory=False))
+            from ..losses.feature_memory import FeatureMemoryState
+            new = add_features_learned(
+                FeatureMemoryState(memory=mem, valid=val),
+                proj, mask, scores, n_push)
+            mem, val = new.memory, new.valid
+        return mem, val
+
+    def _contrastive_term(self, params, batch_stats, memory, memory_valid,
+                          key, fea1, fea2, seg):
+        """λ2-weighted contrastive loss on all labeled voxels (:957-972)."""
+        n_classes = self.label_manager.num_segmentation_heads
+        seg_flat = seg.reshape(-1)
+        eligible = jnp.ones_like(seg_flat, bool)  # labels != 6 ≡ all voxels
+        total = 0.0
+        for branch, fea, n_cls_loss in (
+                (1, fea1, n_classes),
+                (2, fea2, min(self.contra_classes_branch2, n_classes))):
+            key, sub = jax.random.split(key)
+            idx, mask = sample_class_rows(sub, seg_flat, eligible, n_classes,
+                                          self.contrastive_rows_per_class)
+            rows = fea.reshape(-1, self.feat_dim)[idx].astype(jnp.float32)
+            _, pred = self._apply_heads(params, batch_stats, rows, branch)
+            s_f = self._class_selector_scores(
+                params, batch_stats, jax.lax.stop_gradient(pred),
+                memory=False)
+            s_m = self._class_selector_scores(
+                params, batch_stats, memory, memory=True)
+            # the reference's num_classes argument only truncates the
+            # divisor/loop; mask classes ≥ n_cls_loss out of the sum
+            cls_gate = (jnp.arange(n_classes) < n_cls_loss)[:, None]
+            total = total + contrastive_class_to_class_learned_memory(
+                pred, mask & cls_gate, memory, memory_valid, s_f, s_m,
+                n_cls_loss)
+        return total
+
+    def _compile_steps(self):
+        mesh = self.mesh
+        batch_sharding = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        network = self.network
+        tx = self.tx
+        aug_cfg = self.aug_cfg
+        vessel = self.vessel_class
+        lam1, lam2, lam3 = self.lambda1, self.lambda2, self.lambda3
+
+        def forward(params, batch_stats, key, data, train):
+            variables = {"params": params, "batch_stats": batch_stats}
+            if train:
+                return network.apply(variables, data, train=True,
+                                     rngs={"dropout": key},
+                                     mutable=["batch_stats"])
+            return network.apply(variables, data, train=False), None
+
+        def train_step(state: MVDTrainState, key, epoch, data, seg):
+            k_aug, k_drop, k_mem, k_con = jax.random.split(key, 4)
+            data, seg = augment_batch(k_aug, data, seg, aug_cfg)
+            seg = jnp.maximum(seg, 0)
+            targets = downsample_seg_for_ds(seg, self._ds_scales())
+
+            def loss_fn(params):
+                (out1, out2, fea1, fea2), mut = forward(
+                    params, state.batch_stats, k_drop,
+                    data.astype(jnp.bfloat16), True)
+                l = self.loss(out1, targets) + self.loss(out2, targets)
+                p1 = jax.nn.softmax(out1[0].astype(jnp.float32), -1)
+                p2 = jax.nn.softmax(out2[0].astype(jnp.float32), -1)
+                mutual = kl_loss_compute1(p1[..., vessel], p2[..., vessel])
+                if self.enable_topo_loss:
+                    tgt_vessel = (seg == vessel).astype(jnp.float32)
+                    topo = topo_wasserstein(
+                        p1[..., vessel], tgt_vessel,
+                        topo_dim=self.topo_feat_d, q=2.0, cap=self.topo_cap,
+                        downsample=self.topo_pool)
+                else:
+                    topo = 0.0
+                l = l + lam3 * topo + lam1 * mutual
+
+                contra = jax.lax.cond(
+                    epoch >= self.contrastive_start_epoch,
+                    lambda: self._contrastive_term(
+                        params, state.batch_stats, state.memory,
+                        state.memory_valid, k_con, fea1, fea2, seg),
+                    lambda: 0.0)
+                l = l + lam2 * contra
+                return l, (mut["batch_stats"], out1, out2, fea1, fea2,
+                           mutual, topo, contra)
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_bs, out1, out2, fea1, fea2, mutual, topo, contra = aux
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+
+            mem, val = jax.lax.cond(
+                epoch > self.memory_start_epoch,
+                lambda: self._memory_insert(state, k_mem, out1, out2,
+                                            fea1, fea2, seg),
+                lambda: (state.memory, state.memory_valid))
+
+            new_state = MVDTrainState(
+                params=params, batch_stats=new_bs, opt_state=opt_state,
+                step=state.step + 1, memory=mem, memory_valid=val)
+            return new_state, {"loss": loss, "mutual": mutual,
+                               "topo": topo, "contrastive": contra}
+
+        def val_step(state: MVDTrainState, data, seg):
+            seg = jnp.maximum(seg, 0)
+            (out1, out2, *_), _ = forward(state.params, state.batch_stats,
+                                          None, data.astype(jnp.bfloat16),
+                                          False)
+            targets = downsample_seg_for_ds(seg, self._ds_scales())
+            loss = self.loss(out1, targets) + self.loss(out2, targets)
+            out = out1[0]
+            num_classes = out.shape[-1]
+            pred = jax.nn.one_hot(jnp.argmax(out, -1), num_classes)
+            tgt = jax.nn.one_hot(seg, num_classes)
+            pred, tgt = pred[..., 1:], tgt[..., 1:]
+            axes = tuple(range(out.ndim - 1))
+            return {"loss": loss,
+                    "tp": jnp.sum(pred * tgt, axes),
+                    "fp": jnp.sum(pred * (1 - tgt), axes),
+                    "fn": jnp.sum((1 - pred) * tgt, axes)}
+
+        self._train_step_fn = jax.jit(
+            train_step,
+            in_shardings=(rep, rep, rep, batch_sharding, batch_sharding),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,))
+        self._val_step_fn = jax.jit(
+            val_step, in_shardings=(rep, batch_sharding, batch_sharding),
+            out_shardings=rep)
+        self._batch_sharding = batch_sharding
+
+    # ------------------------------------------------------------- overrides
+
+    def train_step(self, data, seg):
+        self.state, metrics = self._train_step_fn(
+            self.state, self._next_rng(),
+            jnp.asarray(self.current_epoch, jnp.int32), data, seg)
+        return metrics
+
+    def save_checkpoint(self, filename: str):
+        state = jax.device_get(self.state)
+        import pickle
+        checkpoint = {
+            "network_weights": flax.serialization.to_state_dict(state.params),
+            "batch_stats": flax.serialization.to_state_dict(
+                state.batch_stats),
+            "opt_state": flax.serialization.to_state_dict(state.opt_state),
+            "memory": np.asarray(state.memory),
+            "memory_valid": np.asarray(state.memory_valid),
+            "step": int(state.step),
+            "logging": self.logger.get_checkpoint(),
+            "_best_ema": self._best_ema,
+            "current_epoch": self.current_epoch,
+            "init_args": {"configuration": self.configuration_name,
+                          "fold": self.fold},
+            "trainer_name": self.__class__.__name__,
+            "inference_allowed_mirroring_axes":
+                self.inference_allowed_mirroring_axes,
+        }
+        with open(filename, "wb") as f:
+            pickle.dump(checkpoint, f)
+
+    def load_checkpoint(self, filename_or_checkpoint):
+        import pickle
+        if not self.was_initialized:
+            self.initialize()
+        ckpt = filename_or_checkpoint
+        if isinstance(ckpt, str):
+            with open(ckpt, "rb") as f:
+                ckpt = pickle.load(f)
+        params = flax.serialization.from_state_dict(
+            self.state.params, ckpt["network_weights"])
+        batch_stats = flax.serialization.from_state_dict(
+            self.state.batch_stats, ckpt["batch_stats"])
+        opt_state = flax.serialization.from_state_dict(
+            self.state.opt_state, ckpt["opt_state"])
+        self.state = MVDTrainState(
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            step=jnp.asarray(ckpt["step"], jnp.int32),
+            memory=jnp.asarray(ckpt["memory"]),
+            memory_valid=jnp.asarray(ckpt["memory_valid"]))
+        self.logger.load_checkpoint(ckpt["logging"])
+        self._best_ema = ckpt["_best_ema"]
+        self.current_epoch = ckpt["current_epoch"]
+        self.inference_allowed_mirroring_axes = \
+            ckpt.get("inference_allowed_mirroring_axes")
+
+    def perform_actual_validation(self, save_probabilities: bool = False):
+        # the dual net needs batch_stats at inference — pass full variables
+        self._validation_variables = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats)}
+        return super().perform_actual_validation(save_probabilities)

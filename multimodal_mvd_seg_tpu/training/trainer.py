@@ -216,6 +216,16 @@ class MVDSegTrainer:
         )
         return tx
 
+    def _init_network_state(self):
+        """Init network variables and build the TrainState (hookpoint —
+        the MVD trainer swaps in its extended state)."""
+        patch = tuple(self.configuration_manager.patch_size)
+        dummy = jnp.zeros((1, *patch, self.num_input_channels), jnp.bfloat16)
+        variables = self.network.init(self._next_rng(), dummy, train=False)
+        params = variables["params"]
+        return TrainState(params=params, opt_state=self.tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
     def initialize(self):
         if self.was_initialized:
             return
@@ -223,13 +233,8 @@ class MVDSegTrainer:
         self.mesh = get_mesh(n_data=self.n_data_parallel)
         self.network = self.build_network_architecture(self.enable_deep_supervision)
         patch = tuple(self.configuration_manager.patch_size)
-        dummy = jnp.zeros((1, *patch, self.num_input_channels), jnp.bfloat16)
-        variables = self.network.init(self._next_rng(), dummy, train=False)
-        params = variables["params"]
         self.tx = self._make_optimizer()
-        opt_state = self.tx.init(params)
-        self.state = TrainState(params=params, opt_state=opt_state,
-                                step=jnp.zeros((), jnp.int32))
+        self.state = self._init_network_state()
         self.loss = self._build_loss()
 
         (rotation, do_dummy_2d, initial_patch, mirror_axes) = \
@@ -241,7 +246,8 @@ class MVDSegTrainer:
                                      do_dummy_2d=do_dummy_2d)
         self._compile_steps()
         self.was_initialized = True
-        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree.leaves(self.state.params))
         self.print_to_log_file(
             f"Initialized {self.__class__.__name__}: "
             f"{type(self.network).__name__}, {n_params:,} params, "
@@ -544,9 +550,11 @@ class MVDSegTrainer:
         predictor = MVDSegPredictor(
             tile_step_size=0.5, use_gaussian=True, use_mirroring=True,
             allowed_mirroring_axes=self.inference_allowed_mirroring_axes)
+        inference_vars = getattr(self, "_validation_variables", None) \
+            or jax.device_get(self.state.params)
         predictor.manual_initialization(
             self.network, self.plans_manager, self.configuration_manager,
-            [jax.device_get(self.state.params)], self.dataset_json,
+            [inference_vars], self.dataset_json,
             self.__class__.__name__, self.inference_allowed_mirroring_axes)
 
         rw = self.plans_manager.image_reader_writer_class()
@@ -558,7 +566,8 @@ class MVDSegTrainer:
             export_prediction_from_logits(
                 logits, properties, self.configuration_manager,
                 self.plans_manager, self.dataset_json,
-                join(output_folder, k + self.dataset_json["file_ending"]))
+                join(output_folder, k + self.dataset_json["file_ending"]),
+                save_probabilities=save_probabilities)
         # evaluate against raw labels
         gt_folder = join(paths.get_raw(), self.plans_manager.dataset_name,
                          "labelsTr")

@@ -1,0 +1,132 @@
+"""End-to-end MVD ContrastiveTrainer: one compiled dual-branch train step
+with mutual KL + topo + curriculum-gated memory/contrastive terms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+PATCH = (16, 32, 32)
+
+
+class _TinyContrastiveTrainer:
+    """Lazily constructed to keep import-time light."""
+
+    def __new__(cls, tmp_path):
+        import os
+        from multimodal_mvd_seg_tpu.training.mvd_trainer import (
+            ContrastiveTrainer)
+        from multimodal_mvd_seg_tpu.models.contrastive_net import (
+            ContrastiveNet)
+        import __graft_entry__ as ge
+
+        plans, dataset_json = ge._tiny_plans_and_dataset(patch=PATCH)
+
+        class TinyMVD(ContrastiveTrainer):
+            def build_network_architecture(self, deep_supervision=True):
+                # depth-1 encoder keeps the CPU-test compile tractable;
+                # identical code paths to the full 3-deep flagship
+                return ContrastiveNet(
+                    input_channels=self.num_input_channels,
+                    num_classes=self.label_manager.num_segmentation_heads,
+                    feature_size=16, depths=(1, 1, 1, 1),
+                    do_ds=deep_supervision)
+
+        os.environ["MVDSEG_raw"] = str(tmp_path / "raw")
+        os.environ["MVDSEG_preprocessed"] = str(tmp_path / "pre")
+        os.environ["MVDSEG_results"] = str(tmp_path / "res")
+        for d in ("raw", "pre", "res"):
+            (tmp_path / d).mkdir(exist_ok=True)
+        from multimodal_mvd_seg_tpu import paths
+        paths.refresh()
+        trainer = TinyMVD(plans, "3d_fullres", 0, dataset_json)
+        trainer.n_data_parallel = 2  # keep the CPU-test SPMD compile fast
+        trainer.num_iterations_per_epoch = 1
+        trainer.memory_candidates_per_class = 32
+        trainer.contrastive_rows_per_class = 32
+        trainer.topo_cap = 64
+        return trainer
+
+
+@pytest.fixture(scope="module")
+def mvd_trainer(tmp_path_factory):
+    trainer = _TinyContrastiveTrainer(tmp_path_factory.mktemp("mvd"))
+    trainer.initialize()
+    return trainer
+
+
+def _batch(trainer, seed=0):
+    rng = np.random.RandomState(seed)
+    bs = max(trainer.configuration_manager.batch_size,
+             trainer.mesh.shape["data"])
+    init_patch = tuple(trainer._initial_patch_size)
+    data = jax.device_put(
+        rng.normal(size=(bs, *init_patch, 2)).astype(np.float32),
+        trainer._batch_sharding)
+    seg = jax.device_put(
+        rng.randint(0, 3, size=(bs, *init_patch)).astype(np.int32),
+        trainer._batch_sharding)
+    return data, seg
+
+
+def test_mvd_train_step_curriculum(mvd_trainer):
+    trainer = mvd_trainer
+    data, seg = _batch(trainer)
+
+    # phase 1: base losses + mutual + topo only
+    trainer.current_epoch = 0
+    m0 = jax.device_get(trainer.train_step(data, seg))
+    assert np.isfinite(m0["loss"]) and m0["loss"] > 0
+    assert np.isfinite(m0["mutual"]) and np.isfinite(m0["topo"])
+    assert m0["contrastive"] == 0.0
+    assert int(jax.device_get(trainer.state.memory_valid).sum()) == 0
+
+    # phase 2 (epoch > 50): memory bank fills
+    trainer.current_epoch = 60
+    m1 = jax.device_get(trainer.train_step(data, seg))
+    n_mem = int(jax.device_get(trainer.state.memory_valid).sum())
+    assert n_mem > 0
+    assert m1["contrastive"] == 0.0
+
+    # phase 3 (epoch ≥ 100): contrastive active (same compiled step)
+    trainer.current_epoch = 120
+    m2 = jax.device_get(trainer.train_step(data, seg))
+    assert np.isfinite(m2["contrastive"])
+    assert int(jax.device_get(trainer.state.step)) == 3
+
+
+def test_mvd_checkpoint_roundtrip(mvd_trainer, tmp_path):
+    import os
+    trainer = mvd_trainer
+    f = str(tmp_path / "ckpt.pkl")
+    trainer.current_epoch = 7
+    trainer.save_checkpoint(f)
+    before = jax.device_get(trainer.state.params)
+    trainer.load_checkpoint(f)
+    after = jax.device_get(trainer.state.params)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert trainer.current_epoch == 7
+    assert os.path.getsize(f) > 1000
+
+
+def test_mvd_val_step_and_registry(mvd_trainer):
+    trainer = mvd_trainer
+    data, seg = _batch(trainer, seed=1)
+    # validation uses the final patch size
+    bs = data.shape[0]
+    rng = np.random.RandomState(2)
+    vdata = jax.device_put(
+        rng.normal(size=(bs, *PATCH, 2)).astype(np.float32),
+        trainer._batch_sharding)
+    vseg = jax.device_put(
+        rng.randint(0, 3, size=(bs, *PATCH)).astype(np.int32),
+        trainer._batch_sharding)
+    m = jax.device_get(trainer.validation_step(vdata, vseg))
+    assert np.isfinite(m["loss"])
+    assert m["tp"].shape == (2,)  # fg classes
+
+    from multimodal_mvd_seg_tpu.training.registry import get_trainer_class
+    from multimodal_mvd_seg_tpu.training.mvd_trainer import ContrastiveTrainer
+    assert get_trainer_class("ContrastiveTrainer") is ContrastiveTrainer
+    assert get_trainer_class("MVDTrainer") is ContrastiveTrainer
