@@ -51,6 +51,7 @@ class AugmentConfig(NamedTuple):
     gamma_range: Tuple[float, float] = (0.7, 1.5)
     mirror_axes: Tuple[int, ...] = (0, 1, 2)
     do_dummy_2d: bool = False
+    interp_order: int = 1   # data interpolation of the spatial warp (DAOrd0→0)
 
 
 def _rot3(kx, ky, kz):
@@ -113,7 +114,7 @@ def _spatial_one(key, data, seg, cfg: AugmentConfig):
     """data (*spatial, c), seg (*spatial)."""
     in_shape = seg.shape
     coords = _affine_coords(key, in_shape, cfg.patch_size, cfg)
-    data_out = jax.vmap(lambda v: _map_coords(v, coords, 1),
+    data_out = jax.vmap(lambda v: _map_coords(v, coords, cfg.interp_order),
                         in_axes=-1, out_axes=-1)(data)
     seg_out = _map_coords(seg.astype(jnp.float32), coords, 0).astype(jnp.int32)
     return data_out, seg_out

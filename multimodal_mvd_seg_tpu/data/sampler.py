@@ -71,7 +71,8 @@ class PatchSampler:
                  oversample_foreground_percent: float = 0.33,
                  num_input_channels: Optional[int] = None,
                  pad_value_seg: int = -1,
-                 dim: Optional[int] = None):
+                 dim: Optional[int] = None,
+                 probabilistic_oversampling: bool = False):
         self.dataset = dataset
         self.keys = list(dataset.keys())
         self.batch_size = batch_size
@@ -81,9 +82,15 @@ class PatchSampler:
         self.oversample_foreground_percent = oversample_foreground_percent
         self.pad_value_seg = pad_value_seg
         self.dim = dim if dim is not None else len(self.patch_size)
+        self.probabilistic_oversampling = probabilistic_oversampling
 
-    def _must_contain_fg(self, sample_idx: int) -> bool:
-        # reference base_data_loader: last round(bs * p) samples are forced fg
+    def _must_contain_fg(self, sample_idx: int,
+                         rng: Optional[np.random.RandomState] = None) -> bool:
+        # reference base_data_loader: last round(bs * p) samples are forced
+        # fg; the probabilistic variant draws per sample instead (reference
+        # variants/sampling/nnUNetTrainer_probabilisticOversampling.py)
+        if self.probabilistic_oversampling and rng is not None:
+            return rng.rand() < self.oversample_foreground_percent
         return sample_idx >= round(
             self.batch_size * (1 - self.oversample_foreground_percent))
 
@@ -138,7 +145,7 @@ class PatchSampler:
         for j in range(b):
             key = self.keys[rng.randint(len(self.keys))]
             data, seg, props = self.dataset.load_case(key)
-            force_fg = self._must_contain_fg(j)
+            force_fg = self._must_contain_fg(j, rng)
             class_locations = props.get('class_locations')
 
             if self.dim == 2 and data.ndim == 4:

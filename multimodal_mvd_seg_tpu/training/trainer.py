@@ -177,6 +177,11 @@ class MVDSegTrainer:
                 patch_size, rotation, rotation, rotation, (0.85, 1.25)))
         return rotation, do_dummy_2d, initial, mirror_axes
 
+    def _augment_overrides(self) -> dict:
+        """AugmentConfig field overrides (hookpoint for the data-augmentation
+        trainer variants: NoDA, DAOrd0, NoMirroring, DA5)."""
+        return {}
+
     def _build_loss(self):
         """Reference nnUNetTrainer._build_loss (:351-375)."""
         if self.label_manager.has_regions:
@@ -244,6 +249,12 @@ class MVDSegTrainer:
         self.aug_cfg = AugmentConfig(patch_size=patch, rotation=tuple(rotation),
                                      mirror_axes=tuple(mirror_axes),
                                      do_dummy_2d=do_dummy_2d)
+        overrides = self._augment_overrides()
+        if overrides:
+            self.aug_cfg = self.aug_cfg._replace(**overrides)
+            if "mirror_axes" in overrides:
+                self.inference_allowed_mirroring_axes = \
+                    tuple(overrides["mirror_axes"]) or None
         self._compile_steps()
         self.was_initialized = True
         n_params = sum(int(np.prod(p.shape))
@@ -394,7 +405,9 @@ class MVDSegTrainer:
             global_bs = int(np.ceil(global_bs / n_data) * n_data)
         sampler_tr = PatchSampler(
             ds_tr, global_bs, self._initial_patch_size, patch,
-            self.oversample_foreground_percent)
+            self.oversample_foreground_percent,
+            probabilistic_oversampling=getattr(
+                self, "probabilistic_oversampling", False))
         sampler_val = PatchSampler(
             ds_val, global_bs, patch, patch,
             self.oversample_foreground_percent)
