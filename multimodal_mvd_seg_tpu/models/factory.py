@@ -76,6 +76,30 @@ def get_dual_network_from_plans(plans_manager: PlansManager,
     )
 
 
+def get_CSNet_from_plans(plans_manager: PlansManager, dataset_json: dict,
+                         configuration_manager: ConfigurationManager,
+                         num_input_channels: int,
+                         deep_supervision: bool = True):
+    """reference get_network_from_plans.py:244-253:
+    CSNet3D(classes, channels)."""
+    from .csnet_wingsnet import CSNet3D
+    label_manager = plans_manager.get_label_manager(dataset_json)
+    return CSNet3D(classes=label_manager.num_segmentation_heads,
+                   channels=num_input_channels)
+
+
+def get_wingsnet_from_plans(plans_manager: PlansManager, dataset_json: dict,
+                            configuration_manager: ConfigurationManager,
+                            num_input_channels: int,
+                            deep_supervision: bool = True):
+    """reference get_network_from_plans.py:254-262:
+    WingsNet(in_channel, n_classes)."""
+    from .csnet_wingsnet import WingsNet
+    label_manager = plans_manager.get_label_manager(dataset_json)
+    return WingsNet(in_channel=num_input_channels,
+                    n_classes=label_manager.num_segmentation_heads)
+
+
 def build_network_and_params(plans_manager: PlansManager, dataset_json: dict,
                              configuration_manager: ConfigurationManager,
                              rng: Optional[jax.Array] = None,
