@@ -16,6 +16,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +47,8 @@ def main():
         kernel_sizes=[[3, 3, 3]] * 6,
         strides=strides,
         num_classes=classes,
-        deep_supervision=True)
+        deep_supervision=True,
+        remat=True)  # fits the 16G v5e HBM (activations recomputed)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, channels), jnp.bfloat16)
@@ -62,7 +64,7 @@ def main():
                      optax.sgd(1e-2, momentum=0.99, nesterov=True))
     opt_state = tx.init(params)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, data, seg):
         targets = downsample_seg_for_ds(seg, ds_scales)
 
@@ -79,15 +81,16 @@ def main():
                        jnp.bfloat16)
     seg = jnp.asarray(rs.randint(0, classes, (batch, *patch)), jnp.int32)
 
-    # warmup / compile
+    # warmup / compile (float() forces a host readback: on the axon tunnel
+    # block_until_ready alone does not synchronize)
     params, opt_state, loss = train_step(params, opt_state, data, seg)
-    jax.block_until_ready(loss)
+    float(loss)
 
-    n_steps = 10
+    n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         params, opt_state, loss = train_step(params, opt_state, data, seg)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     steps_per_s = n_steps / dt

@@ -21,15 +21,19 @@ class PlainConvEncoder(nn.Module):
     strides: Sequence[Sequence[int]]
     norm: str = "instance"
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False  # jax.checkpoint each stage: trade FLOPs for HBM
 
     @nn.compact
     def __call__(self, x, *, train: bool = True) -> List[jnp.ndarray]:
+        block_cls = nn.remat(StackedConvBlocks,
+                             static_argnums=()) if self.remat \
+            else StackedConvBlocks
         skips = []
         for s, (f, n, k, st) in enumerate(zip(self.features_per_stage,
                                               self.n_conv_per_stage,
                                               self.kernel_sizes, self.strides)):
-            x = StackedConvBlocks(n, f, k, st, norm=self.norm, dtype=self.dtype,
-                                  name=f"stage{s}")(x, train=train)
+            x = block_cls(n, f, k, st, norm=self.norm, dtype=self.dtype,
+                          name=f"stage{s}")(x, train=train)
             skips.append(x)
         return skips
 
@@ -66,9 +70,12 @@ class UNetDecoder(nn.Module):
     norm: str = "instance"
     dtype: jnp.dtype = jnp.bfloat16
     return_last_feature: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, skips: List[jnp.ndarray], *, train: bool = True):
+        block_cls = nn.remat(StackedConvBlocks) if self.remat \
+            else StackedConvBlocks
         n_stages = len(self.features_per_stage)
         x = skips[-1]
         seg_outputs = []
@@ -81,10 +88,10 @@ class UNetDecoder(nn.Module):
                                  use_bias=True, dtype=self.dtype,
                                  name=f"up{d}")(x)
             x = jnp.concatenate([x, skips[skip_stage].astype(x.dtype)], axis=-1)
-            x = StackedConvBlocks(self.n_conv_per_stage[d], f,
-                                  self.kernel_sizes[skip_stage], (1,) * len(stride),
-                                  norm=self.norm, dtype=self.dtype,
-                                  name=f"dec{d}")(x, train=train)
+            x = block_cls(self.n_conv_per_stage[d], f,
+                          self.kernel_sizes[skip_stage], (1,) * len(stride),
+                          norm=self.norm, dtype=self.dtype,
+                          name=f"dec{d}")(x, train=train)
             last_feature = x
             if self.deep_supervision or d == n_stages - 2:
                 seg = nn.Conv(self.num_classes, kernel_size=(1,) * len(stride),
@@ -113,6 +120,7 @@ class PlainConvUNet(nn.Module):
     deep_supervision: bool = True
     norm: str = "instance"
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -120,11 +128,13 @@ class PlainConvUNet(nn.Module):
                                  self.n_conv_per_stage_encoder,
                                  self.kernel_sizes, self.strides,
                                  norm=self.norm, dtype=self.dtype,
+                                 remat=self.remat,
                                  name="encoder")(x, train=train)
         return UNetDecoder(self.features_per_stage, self.n_conv_per_stage_decoder,
                            self.kernel_sizes, self.strides, self.num_classes,
                            deep_supervision=self.deep_supervision, norm=self.norm,
-                           dtype=self.dtype, name="decoder")(skips, train=train)
+                           dtype=self.dtype, remat=self.remat,
+                           name="decoder")(skips, train=train)
 
 
 class ResidualEncoderUNet(nn.Module):

@@ -44,3 +44,11 @@ def _populate():
         _TRAINERS.setdefault("MVDTrainer", ContrastiveTrainer)
     except ImportError:
         pass
+    try:
+        from .multitask_trainer import MultiTaskTrainer
+        _TRAINERS.setdefault("MultiTaskTrainer", MultiTaskTrainer)
+    except ImportError:
+        pass
+    # the reference variants subclass a module named nnUNetTrainer_semisup
+    # that is behaviorally the base trainer (SURVEY.md §0)
+    _TRAINERS.setdefault("nnUNetTrainer_semisup", _TRAINERS["MVDSegTrainer"])
