@@ -27,7 +27,7 @@ A100_STEPS_PER_S = 250.0 / 120.0
 
 
 def main():
-    from multimodal_mvd_seg_tpu.models.unet import PlainConvUNet
+    from multimodal_mvd_seg_tpu.models.unet import PlainConvUNetCF
     from multimodal_mvd_seg_tpu.losses.compound import DC_and_CE_loss
     from multimodal_mvd_seg_tpu.losses.deep_supervision import (
         DeepSupervisionWrapper, default_ds_weights)
@@ -40,15 +40,16 @@ def main():
     strides = [[1, 1, 1], [2, 2, 2], [2, 2, 2], [2, 2, 2], [2, 2, 2], [1, 2, 2]]
     features = [32, 64, 128, 256, 320, 320]
 
-    net = PlainConvUNet(
+    # channels-first layout: the TPU fast path (unpadded bf16 activations
+    # fit the 16G HBM without rematerialization; see models/blocks.py)
+    net = PlainConvUNetCF(
         features_per_stage=features,
         n_conv_per_stage_encoder=[2] * 6,
         n_conv_per_stage_decoder=[2] * 5,
         kernel_sizes=[[3, 3, 3]] * 6,
         strides=strides,
         num_classes=classes,
-        deep_supervision=True,
-        remat=True)  # fits the 16G v5e HBM (activations recomputed)
+        deep_supervision=True)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, channels), jnp.bfloat16)
