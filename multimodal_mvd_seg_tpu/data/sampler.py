@@ -72,7 +72,8 @@ class PatchSampler:
                  num_input_channels: Optional[int] = None,
                  pad_value_seg: int = -1,
                  dim: Optional[int] = None,
-                 probabilistic_oversampling: bool = False):
+                 probabilistic_oversampling: bool = False,
+                 cascade_foreground_labels: Optional[List[int]] = None):
         self.dataset = dataset
         self.keys = list(dataset.keys())
         self.batch_size = batch_size
@@ -83,6 +84,13 @@ class PatchSampler:
         self.pad_value_seg = pad_value_seg
         self.dim = dim if dim is not None else len(self.patch_size)
         self.probabilistic_oversampling = probabilistic_oversampling
+        # cascade: one-hot the previous-stage segmentation (stacked as seg
+        # channel 1 by MVDSegDataset) into extra data channels, with the
+        # reference's corruption augmentations (MoveSegAsOneHotToData +
+        # ApplyRandomBinaryOperatorTransform + RemoveRandomConnectedComponent,
+        # reference data_augmentation/cascade_transforms.py) applied on host
+        # like the reference's CPU augmentation workers
+        self.cascade_foreground_labels = cascade_foreground_labels
 
     def _must_contain_fg(self, sample_idx: int,
                          rng: Optional[np.random.RandomState] = None) -> bool:
@@ -172,8 +180,42 @@ class PatchSampler:
                                                 class_locations, rng)
             d = self._crop_pad(data, bbox_lbs, bbox_ubs, 0.0)
             s_ = self._crop_pad(seg, bbox_lbs, bbox_ubs, self.pad_value_seg)
+            if self.cascade_foreground_labels is not None and s_.shape[0] > 1:
+                prev = self._augment_prev_stage(s_[1], rng)
+                onehot = np.stack([(prev == l).astype(np.float32)
+                                   for l in self.cascade_foreground_labels])
+                d = np.concatenate([d, onehot], 0)
             if data_alloc is None:
                 data_alloc = np.zeros((b, *self.patch_size, d.shape[0]), np.float32)
             data_alloc[j] = np.moveaxis(d, 0, -1)
             seg_batch[j] = s_[0]
         return data_alloc if data_alloc is not None else data_batch, seg_batch
+
+    @staticmethod
+    def _augment_prev_stage(prev: np.ndarray,
+                            rng: np.random.RandomState) -> np.ndarray:
+        """Corrupt the previous-stage prediction so the cascade net cannot
+        blindly trust it (reference cascade_transforms.py: random binary
+        dilation/erosion p=0.4 per channel, random connected-component
+        removal p=0.2)."""
+        from scipy import ndimage
+        prev = prev.copy()
+        labels = [l for l in np.unique(prev) if l > 0]
+        for l in labels:
+            if rng.rand() < 0.4:
+                mask = prev == l
+                size = rng.randint(1, 8)
+                structure = np.ones((size,) * prev.ndim, bool)
+                if rng.rand() < 0.5:
+                    mask = ndimage.binary_dilation(mask, structure)
+                else:
+                    mask = ndimage.binary_erosion(mask, structure)
+                prev[prev == l] = 0
+                prev[mask] = l
+            if rng.rand() < 0.2:
+                mask = prev == l
+                cc, n = ndimage.label(mask)
+                if n > 1:
+                    drop = rng.randint(1, n + 1)
+                    prev[cc == drop] = 0
+        return prev

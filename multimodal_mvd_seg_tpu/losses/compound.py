@@ -37,6 +37,25 @@ class DC_and_CE_loss:
         if self.ignore_label is not None:
             mask = (target != self.ignore_label)
             target = jnp.where(mask, target, 0)
+        if self.weight_dice != 0 and self.weight_ce != 0:
+            # compute the softmax ONCE and share it between the dice term
+            # (probs) and the CE term (log-probs): on TPU the train step is
+            # HBM-bound and the duplicated softmax fwd+bwd at every deep-
+            # supervision scale is pure wasted bandwidth
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            probs = jnp.exp(logp)
+            dc = soft_dice_loss(probs, target, batch_dice=self.batch_dice,
+                                do_bg=self.do_bg, smooth=self.smooth,
+                                apply_nonlin=None, mask=mask,
+                                ddp_axis_name=self.ddp_axis_name)
+            tgt = jnp.clip(target, 0, logits.shape[-1] - 1).astype(jnp.int32)
+            nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            if mask is not None:
+                m = mask.astype(jnp.float32)
+                ce = (nll * m).sum() / jnp.clip(m.sum(), 1.0)
+            else:
+                ce = nll.mean()
+            return self.weight_dice * dc + self.weight_ce * ce
         dc = soft_dice_loss(logits, target, batch_dice=self.batch_dice,
                             do_bg=self.do_bg, smooth=self.smooth,
                             apply_nonlin="softmax", mask=mask,

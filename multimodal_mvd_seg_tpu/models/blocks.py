@@ -96,7 +96,14 @@ def instance_norm_act_cf(x, act: bool = True,
 
 
 class ConvNormActCF(nn.Module):
-    """channels-first conv → instance norm (affine) → leaky relu."""
+    """channels-first conv → instance norm (affine) → leaky relu.
+
+    The norm+act is wrapped in jax.checkpoint: its backward would otherwise
+    save BOTH the conv output and the normalized tensor (needed for the
+    affine-scale gradient) — recomputing the elementwise normalization in
+    the backward pass halves stored activations for near-zero FLOPs, which
+    is what lets the full 3d_fullres step fit 16G HBM with no stage-level
+    rematerialization."""
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int]
@@ -111,7 +118,11 @@ class ConvNormActCF(nn.Module):
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        return instance_norm_act_cf(x, act=self.act, scale=scale, bias=bias)
+
+        norm = jax.checkpoint(
+            lambda t, s, b: instance_norm_act_cf(t, act=self.act, scale=s,
+                                                 bias=b))
+        return norm(x, scale, bias)
 
 
 class StackedConvBlocksCF(nn.Module):

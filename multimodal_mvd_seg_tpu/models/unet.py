@@ -177,7 +177,7 @@ class PlainConvUNetCF(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     # checkpoint the first N (largest) stages' conv blocks; their recompute
     # is cheap relative to the HBM they free
-    remat_stages: int = 2
+    remat_stages: int = 0
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):

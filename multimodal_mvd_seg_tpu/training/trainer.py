@@ -85,6 +85,17 @@ class MVDSegTrainer:
             self.preprocessed_dataset_folder_base,
             self.configuration_manager.data_identifier)
 
+        # cascade (reference nnUNetTrainer.py:146-152 / MVDTrainer.py:150-158):
+        # lowres predictions of the SAME trainer/plans feed the fullres stage
+        self.is_cascaded = \
+            self.configuration_manager.previous_stage_name is not None
+        self.folder_with_segs_from_previous_stage = join(
+            paths.get_results(), self.plans_manager.dataset_name,
+            f"{self.__class__.__name__}__{self.plans_manager.plans_name}__"
+            f"{self.configuration_manager.previous_stage_name}",
+            "predicted_next_stage", configuration) if self.is_cascaded \
+            else None
+
         self.label_manager = self.plans_manager.get_label_manager(dataset_json)
         self.num_input_channels = determine_num_input_channels(
             self.plans_manager, self.configuration_manager, dataset_json)
@@ -395,22 +406,29 @@ class MVDSegTrainer:
         tr_keys, val_keys = self.do_split()
         if self.unpack_data:
             unpack_dataset(self.preprocessed_dataset_folder, num_processes=1)
-        ds_tr = MVDSegDataset(self.preprocessed_dataset_folder, tr_keys)
-        ds_val = MVDSegDataset(self.preprocessed_dataset_folder, val_keys)
+        prev = self.folder_with_segs_from_previous_stage
+        ds_tr = MVDSegDataset(self.preprocessed_dataset_folder, tr_keys,
+                              folder_with_segs_from_previous_stage=prev)
+        ds_val = MVDSegDataset(self.preprocessed_dataset_folder, val_keys,
+                               folder_with_segs_from_previous_stage=prev)
         patch = tuple(self.configuration_manager.patch_size)
         global_bs = self.configuration_manager.batch_size
         # round the global batch up to a multiple of the data-mesh size
         n_data = self.mesh.shape["data"]
         if global_bs % n_data:
             global_bs = int(np.ceil(global_bs / n_data) * n_data)
+        cascade_labels = list(self.label_manager.foreground_labels) \
+            if self.is_cascaded else None
         sampler_tr = PatchSampler(
             ds_tr, global_bs, self._initial_patch_size, patch,
             self.oversample_foreground_percent,
             probabilistic_oversampling=getattr(
-                self, "probabilistic_oversampling", False))
+                self, "probabilistic_oversampling", False),
+            cascade_foreground_labels=cascade_labels)
         sampler_val = PatchSampler(
             ds_val, global_bs, patch, patch,
-            self.oversample_foreground_percent)
+            self.oversample_foreground_percent,
+            cascade_foreground_labels=cascade_labels)
         self.dataloader_train = iter(PrefetchLoader(
             sampler_tr, seed=self.fold if self.fold != 'all' else 0,
             sharding=self._batch_sharding))
@@ -570,17 +588,46 @@ class MVDSegTrainer:
             [inference_vars], self.dataset_json,
             self.__class__.__name__, self.inference_allowed_mirroring_axes)
 
+        from ..inference.export import (export_prediction_from_logits,
+                                        resample_and_save)
+        from ..plans.label_handling import convert_labelmap_to_one_hot
+        next_stages = self.configuration_manager.next_stage_names
         rw = self.plans_manager.image_reader_writer_class()
         for k in dataset.keys():
             data, seg, properties = dataset.load_case(k)
             data = np.asarray(data)
+            if self.is_cascaded:
+                # previous-stage seg was stacked as the last seg channel
+                data = np.vstack([data, convert_labelmap_to_one_hot(
+                    np.asarray(seg[-1]),
+                    self.label_manager.foreground_labels, data.dtype)])
             logits = predictor.predict_preprocessed_case(data)
-            from ..inference.export import export_prediction_from_logits
             export_prediction_from_logits(
                 logits, properties, self.configuration_manager,
                 self.plans_manager, self.dataset_json,
                 join(output_folder, k + self.dataset_json["file_ending"]),
                 save_probabilities=save_probabilities)
+            # feed the next cascade stage (reference :1192-1219)
+            for ns in (next_stages or []):
+                next_cm = self.plans_manager.get_configuration(ns)
+                next_folder = join(self.preprocessed_dataset_folder_base,
+                                   next_cm.data_identifier)
+                try:
+                    _, _, props_next = MVDSegDataset(
+                        next_folder, [k]).load_case(k)
+                    target_shape = props_next[
+                        'shape_after_cropping_and_before_resampling']
+                except Exception:
+                    target_shape = properties[
+                        'shape_after_cropping_and_before_resampling']
+                out_dir = join(self.output_folder_base,
+                               "predicted_next_stage", ns)
+                maybe_mkdir_p(out_dir)
+                resample_and_save(logits, target_shape,
+                                  join(out_dir, k + ".npz"),
+                                  self.plans_manager,
+                                  self.configuration_manager, properties,
+                                  self.dataset_json)
         # evaluate against raw labels
         gt_folder = join(paths.get_raw(), self.plans_manager.dataset_name,
                          "labelsTr")
