@@ -35,21 +35,36 @@ class PrefetchLoader:
         self._step_lock = threading.Lock()
         self._step = 0
         self._started = False
+        self._worker_error = None
 
     def _worker(self, wid: int):
-        while not self._stop.is_set():
-            with self._step_lock:
-                step = self._step
-                self._step += 1
-            rng = np.random.RandomState(
-                (self.seed * 1000003 + step) % (2 ** 31 - 1))
-            batch = self.sampler.generate_batch(rng)
+        try:
             while not self._stop.is_set():
-                try:
-                    self._q.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                with self._step_lock:
+                    step = self._step
+                    self._step += 1
+                rng = np.random.RandomState(
+                    (self.seed * 1000003 + step) % (2 ** 31 - 1))
+                batch = self.sampler.generate_batch(rng)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # liveness: surface worker deaths
+            self._worker_error = e
+
+    def check_workers_alive_and_busy(self):
+        """Raise if a producer thread died (equivalent of the reference's
+        check_workers_alive_and_busy / 'worker is 6 feet under' RuntimeError,
+        utilities/file_path_utilities.py + default_preprocessor.py:248-256)."""
+        if self._worker_error is not None:
+            raise RuntimeError(
+                "a background data worker died") from self._worker_error
+        if self._started and self._threads and \
+                not any(t.is_alive() for t in self._threads):
+            raise RuntimeError("all background data workers are dead")
 
     def start(self):
         if self._started:
@@ -72,14 +87,19 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator:
         self.start()
         while True:
-            data, seg = self._q.get()
+            try:
+                batch = self._q.get(timeout=60.0)
+            except queue.Empty:
+                self.check_workers_alive_and_busy()
+                continue
+            data, seg, *rest = batch
             if self.sharding is not None:
                 data = jax.device_put(data, self.sharding)
                 seg = jax.device_put(seg, self.sharding)
             else:
                 data = jax.device_put(data)
                 seg = jax.device_put(seg)
-            yield data, seg
+            yield (data, seg, *rest) if rest else (data, seg)
 
     def __next__(self):
         if not hasattr(self, "_iter"):
