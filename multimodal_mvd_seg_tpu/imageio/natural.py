@@ -33,4 +33,7 @@ class NaturalImage2DIO(BaseReaderWriter):
 
     def write_seg(self, seg: np.ndarray, output_fname: str, properties: dict) -> None:
         from PIL import Image
-        Image.fromarray(seg[0].astype(np.uint8)).save(output_fname)
+        seg = np.asarray(seg)
+        while seg.ndim > 2:  # (c, 1, x, y) / (1, x, y) → (x, y)
+            seg = seg[0]
+        Image.fromarray(seg.astype(np.uint8)).save(output_fname)
