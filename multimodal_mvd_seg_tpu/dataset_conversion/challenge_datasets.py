@@ -43,7 +43,7 @@ def _convert_simple(source_images: str, source_labels: str, target: str,
             for a, b in label_remap.items():
                 out[seg == a] = b
             write_nifti(join(target, "labelsTr", f), out.astype(np.uint8),
-                        spacing=hdr.get("spacing"))
+                        spacing=tuple(hdr["zooms"][:3]))
         else:
             shutil.copy(join(source_labels, f), join(target, "labelsTr", f))
         n += 1
@@ -109,7 +109,7 @@ def convert_brats21(source_folder: str, dataset_id: int = 137) -> str:
         out = seg.copy()
         out[seg == 4] = 3
         write_nifti(join(target, "labelsTr", f"{case_dir}.nii.gz"),
-                    out.astype(np.uint8), spacing=hdr.get("spacing"))
+                    out.astype(np.uint8), spacing=tuple(hdr["zooms"][:3]))
         n += 1
     generate_dataset_json(
         target, channel_names={0: "T1", 1: "T1ce", 2: "T2", 3: "Flair"},

@@ -41,7 +41,7 @@ def convert_msd_dataset(source_folder: str,
 
     def split_image(src, dst_base):
         data, header = read_nifti(src)
-        spacing = header.get("spacing")
+        spacing = tuple(header["zooms"][:3])
         if n_channels == 1:
             if data.ndim == 4:
                 data = data[..., 0]

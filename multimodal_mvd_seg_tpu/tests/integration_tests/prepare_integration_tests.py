@@ -94,7 +94,7 @@ def prepare_integration_tests(source_dataset=None):
                 # mark a random border slab as unannotated
                 seg[:, :, : rng.randint(1, 3)] = ignore_id
             write_nifti(join(dst, "labelsTr", f), seg.astype(np.uint8),
-                        spacing=hdr.get("spacing"))
+                        spacing=tuple(hdr["zooms"][:3]))
         n_train = len(subfiles(join(dst, "labelsTr"), join=False))
         generate_dataset_json(
             dst, channel_names={int(k): v for k, v in

@@ -29,7 +29,7 @@ def combine_labels(input_files: Sequence[str], output_file: str,
         if out is None:
             out = np.zeros(data.shape, np.uint8)
         out[mask] = np.where(data[mask] > 1, data[mask], rank).astype(np.uint8)
-    write_nifti(output_file, out, spacing=header.get("spacing"))
+    write_nifti(output_file, out, spacing=tuple(header["zooms"][:3]))
 
 
 def aggregate_labels_folder(input_folders: List[str], output_folder: str,
@@ -49,7 +49,7 @@ def remap_labels(input_file: str, output_file: str, mapping: Dict[int, int]):
     for src, dst in mapping.items():
         out[data == src] = dst
     write_nifti(output_file, out.astype(np.uint8),
-                spacing=header.get("spacing"))
+                spacing=tuple(header["zooms"][:3]))
 
 
 def check_labels_folder(folder: str, expected: Sequence[int],

@@ -79,4 +79,4 @@ def test_nifti_4d_and_header_roundtrip(tmp_path):
     write_nifti(f, arr, spacing=(0.5, 1.0, 2.0))
     back, hdr = read_nifti(f)
     np.testing.assert_allclose(back, arr, rtol=1e-6)
-    assert tuple(np.round(hdr["spacing"], 5)) == (0.5, 1.0, 2.0)
+    assert tuple(np.round(hdr["zooms"][:3], 5)) == (0.5, 1.0, 2.0)
