@@ -1,0 +1,208 @@
+"""Pallas TPU kernel: fused 3×3×3 stride-1 SAME convolution (channels-first).
+
+The hot op of every 3d_fullres U-Net stage is a stride-1 3³ conv with few
+channels (C=32/64). XLA's general conv runs it at <10% of the v5e's MXU
+ceiling for these shapes; this kernel restructures it as an implicit GEMM:
+
+    out(Cout, N) = Σ_groups  W_g(Cout, 4·Cin) @ A_g(4·Cin, N)
+
+- the grid tiles (batch, D, H); each program DMAs one input tile with its
+  D/H halo from HBM into VMEM (W stays whole: it is the 128-lane axis),
+- the 27 taps + 1 zero pad are processed in groups of 4: the group's shifted
+  input views are stacked on the contraction axis so each MXU pass runs with
+  K = 4·Cin (full 128 rows at Cin=32) instead of K = Cin,
+- accumulation in fp32 VMEM scratch, single write of the output tile.
+
+Forward-only: the backward pass delegates to XLA's conv primitives via
+custom_vjp (dX = transposed conv, dW = input⋆grad correlation), which keeps
+autodiff exact while the forward enjoys the kernel.
+
+Constraints: kernel 3³, stride 1, SAME, channels-first (B, C, D, H, W),
+Cin % 8 == 0, H % 8 == 0, W % 128 == 0. Callers fall back to XLA otherwise
+(conv3d_cf below handles the dispatch).
+
+MEASURED STATUS (v5e, (2,32→32,64,128,256) bf16): 17.6 ms vs XLA 16.7 ms —
+correct but not yet faster. The bottleneck is input-read amplification:
+Mosaic cannot lane-shift bf16, so the W taps come from three pre-shifted
+HBM variants, and together with the D/H halo each input byte is read ~9×.
+Known fixes for a future round: single-variant tiles rolled as f32 in VMEM
+(32-bit rolls are supported), larger tiles to amortize halos, and
+double-buffered DMA. Until it wins, ``conv3d_cf`` dispatches to XLA by
+default (``use_pallas=True`` opts in).
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tiles(d: int, h: int) -> Tuple[int, int]:
+    """Tile sizes for D/H. H tiles must be multiples of 8 (sublane-aligned
+    DMA windows); callers guarantee h % 8 == 0 (see conv3d_cf eligibility)."""
+    def best(n, candidates):
+        for c in candidates:
+            if n % c == 0:
+                return c
+        return 1
+    return best(d, (4, 2, 8, 1)), best(h, (8, 16))
+
+
+def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, b_ref, o_ref, acc_ref,
+                 tm_ref, t0_ref, tp_ref, sems,
+                 *, cin, cout, td, th, w, n_groups):
+    # DMA one H-aligned halo window per W-shift variant: (cin, td+2, HW, w)
+    # where HW = th+8 keeps the sublane (H) offsets/sizes 8-aligned for the
+    # HBM slice; the kernel only reads window rows [dy, dy+th).
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    hw = th + 8
+    dmas = []
+    for i, (src, dst) in enumerate(((xm_ref, tm_ref), (x0_ref, t0_ref),
+                                    (xp_ref, tp_ref))):
+        dma = pltpu.make_async_copy(
+            src.at[b, :, pl.ds(zi * td, td + 2), pl.ds(yi * th, hw), :],
+            dst, sems.at[i])
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    n = td * th * w
+    tiles = (tm_ref, t0_ref, tp_ref)
+
+    for g in range(n_groups):
+        parts = []
+        for t in range(4):
+            tap = g * 4 + t
+            if tap < 27:
+                dz, rem = divmod(tap, 9)
+                dy, dx = divmod(rem, 3)
+                block = tiles[dx][:, dz:dz + td, dy:dy + th, :]
+                parts.append(block.reshape(cin, n))
+            else:
+                parts.append(jnp.zeros((cin, n), t0_ref.dtype))
+        a_g = jnp.concatenate(parts, axis=0)              # (4·cin, n)
+        w_g = w_ref[g]                                    # (cout, 4·cin)
+        acc_ref[...] += jax.lax.dot_general(
+            w_g, a_g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out = acc_ref[...] + b_ref[:].astype(jnp.float32)[:, None]
+    o_ref[...] = out.reshape(1, cout, td, th, w).astype(o_ref.dtype)
+
+
+def _pallas_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """x (B, Cin, D, H, W) bf16; w (Cout, Cin, 3, 3, 3); b (Cout,)."""
+    B, cin, d, h, wdim = x.shape
+    cout = w.shape[0]
+    td, th = _pick_tiles(d, h)
+    n_groups = 7  # ceil(27 / 4)
+
+    # pack weights into contraction groups: (7, cout, 4*cin)
+    w_taps = w.reshape(cout, cin, 27).transpose(2, 0, 1)      # (27,cout,cin)
+    w_taps = jnp.concatenate(
+        [w_taps, jnp.zeros((1, cout, cin), w.dtype)], 0)       # pad to 28
+    w_packed = w_taps.reshape(7, 4, cout, cin).transpose(0, 2, 1, 3) \
+        .reshape(7, cout, 4 * cin)
+
+    # Three W-shift variants built by XLA (pure bandwidth): Mosaic cannot
+    # lane-shift bf16 inside the kernel, so the kernel picks the variant per
+    # tap instead. All are padded (D+2, H+8) so the DMA windows stay
+    # 8-aligned on the sublane (H) axis.
+    hpad = ((0, 0), (0, 0), (1, 1), (1, 7), (0, 0))
+    x0 = jnp.pad(x, hpad)
+    xm = jnp.pad(x[..., :-1], ((0, 0), (0, 0), (1, 1), (1, 7), (1, 0)))
+    xp = jnp.pad(x[..., 1:], ((0, 0), (0, 0), (1, 1), (1, 7), (0, 1)))
+
+    kernel = functools.partial(_conv_kernel, cin=cin, cout=cout, td=td,
+                               th=th, w=wdim, n_groups=n_groups)
+    grid = (B, d // td, h // th)
+    n = td * th * wdim
+    hw = th + 8
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),        # x variants in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # packed weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # bias
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, td, th, wdim),
+            lambda bb, zz, yy: (bb, 0, zz, yy, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, cout, d, h, wdim), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((cout, n), jnp.float32),
+            pltpu.VMEM((cin, td + 2, hw, wdim), x.dtype),
+            pltpu.VMEM((cin, td + 2, hw, wdim), x.dtype),
+            pltpu.VMEM((cin, td + 2, hw, wdim), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(xm, x0, xp, w_packed, b)
+
+
+def _xla_conv3_cf(x, w, b, stride=(1, 1, 1)):
+    y = jax.lax.conv_general_dilated(
+        x, w, stride, "SAME", dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+    return y + b.astype(y.dtype).reshape(1, -1, 1, 1, 1)
+
+
+@jax.custom_vjp
+def pallas_conv3x3x3_cf(x, w, b):
+    """Fused 3³ stride-1 SAME conv, channels-first, Pallas forward/XLA
+    backward."""
+    return _pallas_conv3_fwd(x, w, b)
+
+
+def _fwd(x, w, b):
+    return _pallas_conv3_fwd(x, w, b), (x, w, b)
+
+
+def _bwd(res, g):
+    x, w, b = res
+    # dX: correlate grad with the spatially-flipped, io-swapped kernel
+    w_flip = jnp.flip(w, axis=(2, 3, 4)).transpose(1, 0, 2, 3, 4)
+    dx = jax.lax.conv_general_dilated(
+        g, w_flip.astype(g.dtype), (1, 1, 1), "SAME",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW")).astype(x.dtype)
+    # dW[o,i,dz,dy,dx] = Σ_b,z,y,x  x[b,i,z+dz-1,...] g[b,o,z,...]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+    dw = jax.lax.conv_general_dilated(
+        xp.transpose(1, 0, 2, 3, 4).astype(jnp.float32),   # (Cin,B,D+2,...)
+        g.transpose(1, 0, 2, 3, 4).astype(jnp.float32),    # (Cout,B,D,...)
+        window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    )                                                       # (Cin,Cout,3,3,3)
+    dw = dw.transpose(1, 0, 2, 3, 4).astype(w.dtype)
+    db = g.astype(jnp.float32).sum(axis=(0, 2, 3, 4)).astype(b.dtype)
+    return dx, dw, db
+
+
+pallas_conv3x3x3_cf.defvjp(_fwd, _bwd)
+
+
+def conv3d_cf(x, w, b, stride=(1, 1, 1), use_pallas: Optional[bool] = None):
+    """Dispatch: the Pallas kernel when eligible, XLA otherwise."""
+    eligible = (tuple(stride) == (1, 1, 1)
+                and w.shape[2:] == (3, 3, 3)
+                and x.shape[1] % 8 == 0
+                and x.shape[-1] % 128 == 0
+                and x.shape[3] % 8 == 0
+                and x.shape[2] >= 2)
+    if use_pallas is None:
+        use_pallas = False  # XLA is currently at least as fast; see header
+    if use_pallas and eligible:
+        return pallas_conv3x3x3_cf(x, w, b)
+    return _xla_conv3_cf(x, w, b, stride)
