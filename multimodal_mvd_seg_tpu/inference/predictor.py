@@ -231,16 +231,51 @@ class MVDSegPredictor:
         coords_p[:n_tiles] = coords
 
         num_heads = self.label_manager.num_segmentation_heads
-        fn = self._get_sliding_window_fn(tuple(padded_spatial), n_pad,
-                                         vol.shape[-1], num_heads)
-        vol_dev = jnp.asarray(padded)
-        out = None
-        for params in self.params_list:
-            res = fn(params, vol_dev, jnp.asarray(coords_p), jnp.asarray(valid))
-            out = res if out is None else out + res
-        out = jax.device_get(out) / len(self.params_list)
+        try:
+            fn = self._get_sliding_window_fn(tuple(padded_spatial), n_pad,
+                                             vol.shape[-1], num_heads)
+            vol_dev = jnp.asarray(padded)
+            out = None
+            for params in self.params_list:
+                res = fn(params, vol_dev, jnp.asarray(coords_p),
+                         jnp.asarray(valid))
+                out = res if out is None else out + res
+            out = jax.device_get(out) / len(self.params_list)
+        except (RuntimeError, jax.errors.JaxRuntimeError) as e:
+            # OOM resilience: fall back to host-side accumulation with
+            # per-tile device forwards (the reference's GPU→CPU fallback,
+            # predict_from_raw_data.py:499-505,686-698)
+            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in \
+                    str(e).lower():
+                raise
+            if self.verbose:
+                print("sliding-window buffer OOM on device — accumulating "
+                      "on host")
+            out = self._host_accumulate(padded, coords, patch, num_heads)
         out = out[tuple(slicer[:-1])]           # revert padding (spatial axes)
         return np.moveaxis(out, -1, 0)
+
+    def _host_accumulate(self, padded: np.ndarray, coords: np.ndarray,
+                         patch, num_heads: int) -> np.ndarray:
+        """Tile-by-tile device forward, Gaussian accumulation in host RAM."""
+        gaussian = np.asarray(compute_gaussian(patch), np.float32) \
+            if self.use_gaussian else np.ones(patch, np.float32)
+        logits = np.zeros((*padded.shape[:-1], num_heads), np.float32)
+        weights = np.zeros(padded.shape[:-1], np.float32)
+        fwd = jax.jit(self._mirror_forward)
+        for params in self.params_list:
+            for c in coords:
+                sl = tuple(slice(int(c[d]), int(c[d]) + patch[d])
+                           for d in range(len(patch)))
+                tile = jnp.asarray(padded[sl + (slice(None),)][None],
+                                   jnp.bfloat16)
+                pred = np.asarray(jax.device_get(fwd(params, tile))[0],
+                                  np.float32)
+                logits[sl] += pred * gaussian[..., None]
+                weights[sl] += gaussian
+        # weights accumulate once per fold too, so the quotient is already
+        # the fold-averaged gaussian-weighted mean
+        return logits / np.maximum(weights, 1e-8)[..., None]
 
     # ---------------------------------------------------------- file-level
 
