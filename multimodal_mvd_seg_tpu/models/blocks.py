@@ -43,14 +43,20 @@ class ConvCF(nn.Module):
         fan_in = cin * int(np.prod(self.kernel_size))
         w = self.param("kernel", nn.initializers.variance_scaling(
             2.0, "fan_in", "truncated_normal"), kshape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32) if self.use_bias else None
+        if dim == 3 and self.use_bias:
+            # 3D convs route through conv3d_cf: the Pallas implicit-GEMM
+            # kernel for eligible stride-1 3³ shapes, XLA otherwise
+            from ..ops.pallas_conv import conv3d_cf
+            return conv3d_cf(x.astype(self.dtype), w.astype(self.dtype),
+                             b.astype(self.dtype), tuple(self.strides))
         letters = "DHW"[3 - dim:]
         dn = (f"NC{letters}", f"OI{letters}", f"NC{letters}")
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype),
             tuple(self.strides), "SAME", dimension_numbers=dn)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,),
-                           jnp.float32)
             y = y + b.astype(y.dtype).reshape(1, -1, *([1] * dim))
         return y
 

@@ -21,14 +21,14 @@ Constraints: kernel 3³, stride 1, SAME, channels-first (B, C, D, H, W),
 Cin % 8 == 0, H % 8 == 0, W % 128 == 0. Callers fall back to XLA otherwise
 (conv3d_cf below handles the dispatch).
 
-MEASURED STATUS (v5e, (2,32→32,64,128,256) bf16): 17.6 ms vs XLA 16.7 ms —
-correct but not yet faster. The bottleneck is input-read amplification:
-Mosaic cannot lane-shift bf16, so the W taps come from three pre-shifted
-HBM variants, and together with the D/H halo each input byte is read ~9×.
-Known fixes for a future round: single-variant tiles rolled as f32 in VMEM
-(32-bit rolls are supported), larger tiles to amortize halos, and
-double-buffered DMA. Until it wins, ``conv3d_cf`` dispatches to XLA by
-default (``use_pallas=True`` opts in).
+MEASURED STATUS (v5e, (2,32→32,64,128,256) bf16): standalone 13.4 ms vs
+XLA 16.9 ms (1.26×); end-to-end inside the train-step jit it LOSES
+(1.78 vs 1.85 steps/s) because the pre-pad copies an extra 268 MB per conv
+and the custom call breaks XLA's bias/norm fusion. ``conv3d_cf`` therefore
+dispatches to XLA by default; pass use_pallas=True to opt in. Future-round
+plan: fold the halo padding into the DMA (edge-clamped window reads),
+reduce the per-tap re-layout copies (~28 VMEM copies/tile), double-buffer
+the DMA.
 """
 
 import functools
@@ -52,26 +52,32 @@ def _pick_tiles(d: int, h: int) -> Tuple[int, int]:
     return best(d, (4, 2, 8, 1)), best(h, (8, 16))
 
 
-def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, b_ref, o_ref, acc_ref,
-                 tm_ref, t0_ref, tp_ref, sems,
+def _conv_kernel(x0_ref, w_ref, b_ref, o_ref, acc_ref,
+                 t0_ref, tm_ref, tp_ref, sem,
                  *, cin, cout, td, th, w, n_groups):
-    # DMA one H-aligned halo window per W-shift variant: (cin, td+2, HW, w)
-    # where HW = th+8 keeps the sublane (H) offsets/sizes 8-aligned for the
-    # HBM slice; the kernel only reads window rows [dy, dy+th).
+    # DMA ONE H-aligned halo window: (cin, td+2, HW, w) with HW = th+8 so
+    # the sublane (H) offsets/sizes stay 8-aligned for the HBM slice; the
+    # kernel reads window rows [dy, dy+th).
     b = pl.program_id(0)
     zi = pl.program_id(1)
     yi = pl.program_id(2)
     hw = th + 8
-    dmas = []
-    for i, (src, dst) in enumerate(((xm_ref, tm_ref), (x0_ref, t0_ref),
-                                    (xp_ref, tp_ref))):
-        dma = pltpu.make_async_copy(
-            src.at[b, :, pl.ds(zi * td, td + 2), pl.ds(yi * th, hw), :],
-            dst, sems.at[i])
-        dma.start()
-        dmas.append(dma)
-    for dma in dmas:
-        dma.wait()
+    dma = pltpu.make_async_copy(
+        x0_ref.at[b, :, pl.ds(zi * td, td + 2), pl.ds(yi * th, hw), :],
+        t0_ref, sem)
+    dma.start()
+    dma.wait()
+
+    # Build the two W-shift variants IN VMEM via f32 lane rotates (Mosaic
+    # only rotates 32-bit data; an int32-bitcast pair-shift was tried and is
+    # WRONG on TPU — bf16 packing pairs SUBLANES, not adjacent lanes). Still
+    # ~3× cheaper than DMAing three pre-shifted HBM variants.
+    t32 = t0_ref[...].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, t32.shape, 3)
+    tm_ref[...] = jnp.where(col == 0, 0.0,
+                            pltpu.roll(t32, 1, 3)).astype(t0_ref.dtype)
+    tp_ref[...] = jnp.where(col == w - 1, 0.0,
+                            pltpu.roll(t32, w - 1, 3)).astype(t0_ref.dtype)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     n = td * th * w
@@ -113,14 +119,9 @@ def _pallas_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     w_packed = w_taps.reshape(7, 4, cout, cin).transpose(0, 2, 1, 3) \
         .reshape(7, cout, 4 * cin)
 
-    # Three W-shift variants built by XLA (pure bandwidth): Mosaic cannot
-    # lane-shift bf16 inside the kernel, so the kernel picks the variant per
-    # tap instead. All are padded (D+2, H+8) so the DMA windows stay
-    # 8-aligned on the sublane (H) axis.
-    hpad = ((0, 0), (0, 0), (1, 1), (1, 7), (0, 0))
-    x0 = jnp.pad(x, hpad)
-    xm = jnp.pad(x[..., :-1], ((0, 0), (0, 0), (1, 1), (1, 7), (1, 0)))
-    xp = jnp.pad(x[..., 1:], ((0, 0), (0, 0), (1, 1), (1, 7), (0, 1)))
+    # Single halo-padded input (D+2, H+8 for sublane-aligned DMA windows);
+    # the two W-shift variants are produced inside the kernel in VMEM.
+    x0 = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 7), (0, 0)))
 
     kernel = functools.partial(_conv_kernel, cin=cin, cout=cout, td=td,
                                th=th, w=wdim, n_groups=n_groups)
@@ -131,9 +132,7 @@ def _pallas_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # x variants in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),        # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),       # packed weights
             pl.BlockSpec(memory_space=pltpu.VMEM),       # bias
         ],
@@ -147,10 +146,10 @@ def _pallas_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             pltpu.VMEM((cin, td + 2, hw, wdim), x.dtype),
             pltpu.VMEM((cin, td + 2, hw, wdim), x.dtype),
             pltpu.VMEM((cin, td + 2, hw, wdim), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xm, x0, xp, w_packed, b)
+    )(x0, w_packed, b)
 
 
 def _xla_conv3_cf(x, w, b, stride=(1, 1, 1)):
@@ -172,11 +171,18 @@ def _fwd(x, w, b):
 
 def _bwd(res, g):
     x, w, b = res
-    # dX: correlate grad with the spatially-flipped, io-swapped kernel
+    # dX: correlate grad with the spatially-flipped, io-swapped kernel —
+    # itself a stride-1 3^3 SAME conv, so the Pallas kernel applies when
+    # eligible (first-order only; fine for training)
     w_flip = jnp.flip(w, axis=(2, 3, 4)).transpose(1, 0, 2, 3, 4)
-    dx = jax.lax.conv_general_dilated(
-        g, w_flip.astype(g.dtype), (1, 1, 1), "SAME",
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW")).astype(x.dtype)
+    if _eligible(g, w_flip):
+        dx = _pallas_conv3_fwd(g, w_flip.astype(g.dtype),
+                               jnp.zeros((w_flip.shape[0],), g.dtype)
+                               ).astype(x.dtype)
+    else:
+        dx = jax.lax.conv_general_dilated(
+            g, w_flip.astype(g.dtype), (1, 1, 1), "SAME",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW")).astype(x.dtype)
     # dW[o,i,dz,dy,dx] = Σ_b,z,y,x  x[b,i,z+dz-1,...] g[b,o,z,...]
     xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
     dw = jax.lax.conv_general_dilated(
@@ -193,16 +199,35 @@ def _bwd(res, g):
 pallas_conv3x3x3_cf.defvjp(_fwd, _bwd)
 
 
+def _eligible(x, w) -> bool:
+    if not (w.shape[2:] == (3, 3, 3)
+            and x.shape[1] % 8 == 0
+            and x.shape[-1] % 128 == 0
+            and x.shape[3] % 8 == 0
+            and x.shape[2] >= 2):
+        return False
+    # VMEM budget: 3 bf16 tile buffers + one f32 shift temp + fp32 acc +
+    # the (4·cin, n) GEMM operand must fit ~12 MB (out of 16). Large-channel
+    # layers exceed it — and there XLA's conv is efficient anyway (K ≥ 128).
+    cin = x.shape[1]
+    cout = w.shape[0]
+    td, th = _pick_tiles(x.shape[2], x.shape[3])
+    wd = x.shape[-1]
+    tile = cin * (td + 2) * (th + 8) * wd
+    n = td * th * wd
+    vmem = tile * 2 * 3 + tile * 4 + cout * n * 4 + 4 * cin * n * 2
+    return vmem <= 12 * 1024 * 1024
+
+
 def conv3d_cf(x, w, b, stride=(1, 1, 1), use_pallas: Optional[bool] = None):
     """Dispatch: the Pallas kernel when eligible, XLA otherwise."""
-    eligible = (tuple(stride) == (1, 1, 1)
-                and w.shape[2:] == (3, 3, 3)
-                and x.shape[1] % 8 == 0
-                and x.shape[-1] % 128 == 0
-                and x.shape[3] % 8 == 0
-                and x.shape[2] >= 2)
+    eligible = tuple(stride) == (1, 1, 1) and _eligible(x, w)
     if use_pallas is None:
-        use_pallas = False  # XLA is currently at least as fast; see header
+        # Standalone the kernel beats XLA 13.4 vs 16.9 ms, but inside the
+        # full train-step jit the extra pad copy + lost producer/consumer
+        # fusion flips the sign (1.78 vs 1.85 steps/s end-to-end) — keep it
+        # opt-in until the pad is folded into the halo DMA.
+        use_pallas = False
     if use_pallas and eligible:
         return pallas_conv3x3x3_cf(x, w, b)
     return _xla_conv3_cf(x, w, b, stride)
