@@ -72,6 +72,9 @@ class ContrastiveNet(nn.Module):
     proj_size: Sequence[int] = (64, 64, 64, 32)
     do_ds: bool = True
     feat_dim: int = 16  # projection/prediction/selector width (dim_in=16)
+    # checkpoint the transformer/decoder blocks: required to fit the paper's
+    # 2-ch 64×128×256 batch-2 training step in 16G HBM
+    remat: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
@@ -81,14 +84,15 @@ class ContrastiveNet(nn.Module):
             depths=tuple(self.depths), num_heads=self.num_heads,
             in_channels=self.input_channels, stem_stride=(2, 2, 2),
             stage_strides=((2, 2, 2), (2, 2, 2), (2, 4, 4)),
-            dtype=self.dtype)
+            remat=self.remat, dtype=self.dtype)
         # full-resolution stem on the T2 channel
         self.encoder1 = UnetResBlock(fs, kernel_size=3, dtype=self.dtype)
 
         def up(out_ch, stride, conv_decoder=False, proj=64):
             return UnetrUpBlock(out_channels=out_ch, upsample_stride=stride,
                                 proj_size=proj, num_heads=self.num_heads,
-                                conv_decoder=conv_decoder, dtype=self.dtype)
+                                conv_decoder=conv_decoder, remat=self.remat,
+                                dtype=self.dtype)
 
         # branch 1 (T2): 256 → 128 → 64 → 32 → 16
         self.decoder5 = up(fs * 8, (2, 4, 4))

@@ -52,7 +52,7 @@ class UnetResBlock(nn.Module):
         return nn.InstanceNorm(epsilon=1e-5, dtype=jnp.float32, name=name)(x)
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True):
+    def __call__(self, x, train: bool = True):
         dim = x.ndim - 2
         k = (self.kernel_size,) * dim
         s = (self.stride,) * dim
@@ -155,7 +155,7 @@ class TransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True):
+    def __call__(self, x, train: bool = True):
         B = x.shape[0]
         spatial = x.shape[1:-1]
         C = x.shape[-1]
@@ -195,6 +195,7 @@ class _DownsampleStage(nn.Module):
     groups: int
     transformer_dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False  # checkpoint each block (needed at the paper scale)
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -204,11 +205,13 @@ class _DownsampleStage(nn.Module):
                     dtype=self.dtype, kernel_init=_trunc02, name="down")(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
                          dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        block_cls = nn.remat(TransformerBlock, static_argnums=(2,)) \
+            if self.remat else TransformerBlock
         for j in range(self.depth):
-            x = TransformerBlock(self.features, self.proj_size,
-                                 self.num_heads, self.transformer_dropout_rate,
-                                 pos_embed=True, dtype=self.dtype,
-                                 name=f"block{j}")(x, train=train)
+            x = block_cls(self.features, self.proj_size,
+                          self.num_heads, self.transformer_dropout_rate,
+                          pos_embed=True, dtype=self.dtype,
+                          name=f"block{j}")(x, train)
         return x
 
 
@@ -229,6 +232,7 @@ class UnetrPPEncoder(nn.Module):
     stage_strides: Sequence[Sequence[int]] = ((2, 2, 2), (2, 2, 2), (2, 2, 2))
     transformer_dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -240,6 +244,7 @@ class UnetrPPEncoder(nn.Module):
                 self.dims[i], strides[i], self.depths[i], self.proj_size[i],
                 self.num_heads, groups[i],
                 self.transformer_dropout_rate, dtype=self.dtype,
+                remat=self.remat,
                 name=f"stage{i}")(x, train=train)
             hidden_states.append(x)
         return x, hidden_states
@@ -269,6 +274,7 @@ class UnetrUpBlock(nn.Module):
     conv_decoder: bool = False
     norm: str = "instance"
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, skip, *, train: bool = True):
@@ -277,14 +283,18 @@ class UnetrUpBlock(nn.Module):
                              dtype=self.dtype, kernel_init=_trunc02,
                              name="transp_conv")(x)
         x = x + skip.astype(x.dtype)
+        res_cls = nn.remat(UnetResBlock, static_argnums=(2,)) \
+            if self.remat else UnetResBlock
+        blk_cls = nn.remat(TransformerBlock, static_argnums=(2,)) \
+            if self.remat else TransformerBlock
         if self.conv_decoder:
-            x = UnetResBlock(self.out_channels, self.kernel_size,
-                             norm=self.norm, dtype=self.dtype,
-                             name="decoder_block")(x, train=train)
+            x = res_cls(self.out_channels, self.kernel_size,
+                        norm=self.norm, dtype=self.dtype,
+                        name="decoder_block")(x, train)
         else:
             for j in range(self.depth):
-                x = TransformerBlock(self.out_channels, self.proj_size,
-                                     self.num_heads, 0.1, pos_embed=True,
-                                     dtype=self.dtype,
-                                     name=f"decoder_block{j}")(x, train=train)
+                x = blk_cls(self.out_channels, self.proj_size,
+                            self.num_heads, 0.1, pos_embed=True,
+                            dtype=self.dtype,
+                            name=f"decoder_block{j}")(x, train)
         return x
