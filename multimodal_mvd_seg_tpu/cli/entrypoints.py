@@ -307,8 +307,9 @@ def evaluate_simple_entry_point():
     endings = {f[f.index("."):] for f in os.listdir(a.gt_folder)
                if "." in f}
     ending = ".nii.gz" if ".nii.gz" in "".join(endings) else endings.pop()
-    dataset_json = {"labels": {str(i): i for i in a.l},
-                    "file_ending": ending}
+    labels = {"background": 0}
+    labels.update({str(i): i for i in a.l if i != 0})
+    dataset_json = {"labels": labels, "file_ending": ending}
     if a.il is not None:
         dataset_json["labels"]["ignore"] = a.il
     res = compute_metrics_on_folder_simple(a.gt_folder, a.pred_folder,
