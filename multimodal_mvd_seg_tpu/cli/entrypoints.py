@@ -142,6 +142,8 @@ def predict_entry_point():
     p.add_argument("-chk", default="checkpoint_final.pkl")
     p.add_argument("-npp", type=int, default=3)
     p.add_argument("-nps", type=int, default=3)
+    p.add_argument("-prev_stage_predictions", default=None,
+                   help="lowres predictions folder (cascade configurations)")
     p.add_argument("-device", default="auto")
     a = p.parse_args()
     from .. import paths
@@ -159,7 +161,8 @@ def predict_entry_point():
         a.i, a.o, save_probabilities=a.save_probabilities,
         overwrite=not a.continue_prediction,
         num_processes_preprocessing=a.npp,
-        num_processes_segmentation_export=a.nps)
+        num_processes_segmentation_export=a.nps,
+        folder_with_segs_from_prev_stage=a.prev_stage_predictions)
 
 
 def predict_entry_point_modelfolder():
