@@ -158,8 +158,11 @@ class MVDSegPredictor:
         @jax.jit
         def run(params, volume, coords, valid):
             # volume: (*padded_shape, c); coords: (n_pad, dim) int32;
-            # valid: (n_pad,) bool (padding tiles contribute zero weight)
-            logits = jnp.zeros((*padded_shape, num_heads), jnp.float32)
+            # valid: (n_pad,) bool (padding tiles contribute zero weight).
+            # Accumulation buffers are HEADS-FIRST: a (..., num_heads) f32
+            # buffer would put the tiny class axis on the TPU's 128-lane
+            # minor dim and pad the volume-sized buffer up to 25x.
+            logits = jnp.zeros((num_heads, *padded_shape), jnp.float32)
             weights = jnp.zeros(padded_shape, jnp.float32)
             n_batches = coords.shape[0] // tb
 
@@ -175,16 +178,17 @@ class MVDSegPredictor:
                         volume, tuple(c[d] for d in range(dim)) + (0,),
                         (*patch, num_channels)))(cs)
                 preds = self._mirror_forward(params, tiles).astype(jnp.float32)
-                w = gaussian[..., None]
+                preds = jnp.moveaxis(preds, -1, 1)   # (tb, heads, *patch)
 
                 def accumulate(carry, i):
                     logits, weights = carry
                     c = tuple(cs[i, d] for d in range(dim))
                     g = jnp.where(vs[i], 1.0, 0.0)
                     cur = jax.lax.dynamic_slice(
-                        logits, c + (0,), (*patch, num_heads))
+                        logits, (0,) + c, (num_heads, *patch))
                     logits = jax.lax.dynamic_update_slice(
-                        logits, cur + preds[i] * w * g, c + (0,))
+                        logits, cur + preds[i] * (gaussian * g)[None],
+                        (0,) + c)
                     curw = jax.lax.dynamic_slice(weights, c, patch)
                     weights = jax.lax.dynamic_update_slice(
                         weights, curw + gaussian * g, c)
@@ -196,7 +200,7 @@ class MVDSegPredictor:
 
             (logits, weights), _ = jax.lax.scan(
                 body, (logits, weights), jnp.arange(n_batches))
-            return logits / weights[..., None]
+            return logits / weights[None]
 
         self._jitted[key] = run
         return run
@@ -252,8 +256,9 @@ class MVDSegPredictor:
                 print("sliding-window buffer OOM on device — accumulating "
                       "on host")
             out = self._host_accumulate(padded, coords, patch, num_heads)
-        out = out[tuple(slicer[:-1])]           # revert padding (spatial axes)
-        return np.moveaxis(out, -1, 0)
+        # out is heads-first (num_heads, *padded_spatial)
+        out = out[(slice(None),) + tuple(slicer[:-1])]  # revert padding
+        return out
 
     def _host_accumulate(self, padded: np.ndarray, coords: np.ndarray,
                          patch, num_heads: int) -> np.ndarray:
@@ -275,7 +280,8 @@ class MVDSegPredictor:
                 weights[sl] += gaussian
         # weights accumulate once per fold too, so the quotient is already
         # the fold-averaged gaussian-weighted mean
-        return logits / np.maximum(weights, 1e-8)[..., None]
+        out = logits / np.maximum(weights, 1e-8)[..., None]
+        return np.moveaxis(out, -1, 0)  # heads-first, like the device path
 
     # ---------------------------------------------------------- file-level
 

@@ -242,3 +242,137 @@ class StackedResBlocks(nn.Module):
                               norm=self.norm, dtype=self.dtype,
                               name=f"block{i}")(x, train=train)
         return x
+
+
+# ---------------------------------------------------------------------------
+# space-to-depth (s2d) execution path — see ops/s2d.py for the math.
+# Parameter trees are IDENTICAL to the plain channels-first modules above
+# (logical weight shapes), so checkpoints are interchangeable and the s2d
+# flag is purely an execution-layout choice.
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+from ..ops import s2d as _s2d
+
+
+@_functools.lru_cache(maxsize=None)
+def _cell_spec(kernel, strides, rep_in, rep_out, in_lens):
+    return _s2d.CellConvSpec(kernel, strides, rep_in, rep_out, in_lens)
+
+
+class CellConv(nn.Module):
+    """Logical conv (params shaped like ConvCF's) executed in the s2d cell
+    domain described by (rep_in, rep_out)."""
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    rep_in: tuple
+    rep_out: tuple
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        f_in = _s2d.rep_F(self.rep_in)
+        cin = x.shape[1] // f_in
+        kshape = (self.features, cin, *self.kernel_size)
+        w = self.param("kernel", nn.initializers.variance_scaling(
+            2.0, "fan_in", "truncated_normal"), kshape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32) if self.use_bias else None
+        spec = _cell_spec(tuple(map(int, self.kernel_size)),
+                          tuple(map(int, self.strides)),
+                          self.rep_in, self.rep_out, tuple(x.shape[2:]))
+        return spec(x.astype(self.dtype), w.astype(self.dtype),
+                    None if b is None else b.astype(self.dtype))
+
+
+class ConvNormActS2D(nn.Module):
+    """cell conv → masked instance norm (count-corrected) → leaky relu.
+    Param tree identical to ConvNormActCF."""
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    rep_in: tuple
+    rep_out: tuple
+    act: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        x = CellConv(self.features, self.kernel_size, self.strides,
+                     self.rep_in, self.rep_out, dtype=self.dtype,
+                     name="conv")(x)
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        rep = self.rep_out
+        norm = jax.checkpoint(
+            lambda t, s, b: _s2d.masked_instance_norm_act(
+                t, rep, s, b, act=self.act))
+        return norm(x, scale, bias)
+
+
+class StackedConvBlocksS2D(nn.Module):
+    """n logical convs executed in the s2d domain.
+
+    The stage's activations live at `factors` (phase 0); stride-1 convs
+    alternate phase up/down, so `n_convs` must be even when any factor > 1.
+    The first conv consumes `in_factors` (the previous stage's rep, phase 0)
+    and applies `first_stride`. `factors` all-1 with factored `in_factors`
+    expresses the exit conv back to the normal domain."""
+    n_convs: int
+    features: int
+    kernel_size: Sequence[int]
+    first_stride: Sequence[int]
+    in_factors: Sequence[int]
+    factors: Sequence[int]
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        dim = len(self.kernel_size)
+        stage_rep = _s2d.rep_of(self.factors)
+        in_rep = _s2d.rep_of(self.in_factors)
+        factored = any(f > 1 for f in self.factors)
+        if factored:
+            assert self.n_convs % 2 == 0, \
+                "s2d stages need an even conv count"
+        rep = in_rep
+        for i in range(self.n_convs):
+            stride = self.first_stride if i == 0 else (1,) * dim
+            if factored:
+                rep_out = _s2d.phase_up(stage_rep) if i % 2 == 0 \
+                    else stage_rep
+            else:
+                rep_out = stage_rep  # normal domain (exit conv when i == 0)
+            x = ConvNormActS2D(self.features, self.kernel_size, stride,
+                               rep, rep_out, dtype=self.dtype,
+                               name=f"block{i}")(x, train=train)
+            rep = rep_out
+        return x
+
+
+class ConvTransposeS2D(nn.Module):
+    """kernel==stride transposed conv between s2d reps (param tree identical
+    to ConvTransposeCF)."""
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    in_factors: Sequence[int]
+    out_factors: Sequence[int]
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        f_in = int(np.prod(self.in_factors))
+        cin = x.shape[1] // f_in
+        kshape = (cin, self.features, *self.kernel_size)
+        w = self.param("kernel", nn.initializers.variance_scaling(
+            2.0, "fan_in", "truncated_normal"), kshape, jnp.float32)
+        return _s2d.cell_transpose(
+            x.astype(self.dtype), w.astype(self.dtype),
+            _s2d.rep_of(self.in_factors), _s2d.rep_of(self.out_factors),
+            tuple(self.strides))

@@ -23,6 +23,17 @@ def _features_per_stage(configuration_manager: ConfigurationManager):
             for i in range(num_stages)]
 
 
+def _default_s2d_factors(patch_size):
+    """Split the two largest patch axes (space-to-depth execution of the
+    early stages: measured 1.85 -> 3.0 train steps/s on the 3d_fullres
+    benchmark shape, see ops/s2d.py). Ineligible stages are demoted at
+    trace time by unet.s2d_stage_factors, so this is always safe."""
+    dim = len(patch_size)
+    order = sorted(range(dim), key=lambda a: -patch_size[a])
+    split = set(order[:min(2, dim)])
+    return tuple(2 if a in split else 1 for a in range(dim))
+
+
 def get_network_from_plans(plans_manager: PlansManager,
                            dataset_json: dict,
                            configuration_manager: ConfigurationManager,
@@ -50,7 +61,11 @@ def get_network_from_plans(plans_manager: PlansManager,
     )
     if segmentation_network_class_name == 'PlainConvUNet':
         if layout == "channels_first" and norm == "instance":
-            return PlainConvUNetCF(**common)
+            return PlainConvUNetCF(
+                s2d_stages=2,
+                s2d_factors=_default_s2d_factors(
+                    configuration_manager.patch_size),
+                **common)
         return PlainConvUNet(norm=norm, **common)
     if segmentation_network_class_name == 'ResidualEncoderUNet':
         return ResidualEncoderUNet(norm=norm, **common)

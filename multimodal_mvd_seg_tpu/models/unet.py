@@ -11,8 +11,42 @@ from typing import List, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .blocks import (ConvCF, ConvTransposeCF, StackedConvBlocks,
-                     StackedConvBlocksCF, StackedResBlocks)
+from .blocks import (CellConv, ConvCF, ConvTransposeCF, ConvTransposeS2D,
+                     StackedConvBlocks, StackedConvBlocksCF,
+                     StackedConvBlocksS2D, StackedResBlocks)
+from ..ops import s2d as _s2d
+
+
+def s2d_stage_factors(patch_size, kernel_sizes, strides,
+                      n_conv_per_stage_encoder, n_conv_per_stage_decoder,
+                      s2d_stages, base_factors):
+    """Per-stage space-to-depth factors for PlainConvUNetCF, demoting stages
+    that don't satisfy the cell-conv constraints (see ops/s2d.py). Returns a
+    list of per-stage factor tuples; s2d stages form a contiguous prefix."""
+    n_stages = len(kernel_sizes)
+    dim = len(patch_size)
+    out = [(1,) * dim] * n_stages
+    dims = list(patch_size)
+    n_dec = list(n_conv_per_stage_decoder)
+    for s in range(min(s2d_stages, n_stages - 1)):
+        if s > 0:
+            if any(d % st for d, st in zip(dims, strides[s])):
+                break
+            dims = [d // st for d, st in zip(dims, strides[s])]
+        f = tuple(base_factors)
+        ok = all(k == 3 or fa == 1 for k, fa in zip(kernel_sizes[s], f))
+        ok &= all(k in (1, 3) for k in kernel_sizes[s])
+        ok &= all(d % (2 * fa) == 0 for d, fa in zip(dims, f) if fa > 1)
+        ok &= all(st in (1, 2) for st in strides[s])
+        # the stride leaving the s2d prefix must be 2 on factored axes
+        ok &= all(st == 2 for st, fa in zip(strides[s + 1], f) if fa > 1)
+        ok &= n_conv_per_stage_encoder[s] % 2 == 0
+        dec_idx = n_stages - 2 - s
+        ok &= 0 <= dec_idx < len(n_dec) and n_dec[dec_idx] % 2 == 0
+        if not ok:
+            break
+        out[s] = f
+    return out
 
 
 class PlainConvEncoder(nn.Module):
@@ -178,20 +212,44 @@ class PlainConvUNetCF(nn.Module):
     # checkpoint the first N (largest) stages' conv blocks; their recompute
     # is cheap relative to the HBM they free
     remat_stages: int = 0
+    # run the first N stages in the space-to-depth domain (ops/s2d.py):
+    # small-channel full-res convs become C>=128 cell convs that the MXU
+    # runs 2-4x faster. Purely an execution-layout choice — parameter trees
+    # and outputs are identical (up to float summation order) to s2d_stages=0.
+    # Stages that fail the cell-conv constraints are demoted automatically.
+    s2d_stages: int = 0
+    s2d_factors: Tuple[int, ...] = (1, 2, 2)
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
         dim = x.ndim - 2
         x = jnp.moveaxis(x, -1, 1)  # → (B, C, *spatial)
+        sf = s2d_stage_factors(
+            x.shape[2:], self.kernel_sizes, self.strides,
+            self.n_conv_per_stage_encoder, self.n_conv_per_stage_decoder,
+            self.s2d_stages, self.s2d_factors) if self.s2d_stages else \
+            [(1,) * dim] * len(self.features_per_stage)
+
+        def factored(s):
+            return any(f > 1 for f in sf[s])
+
+        if factored(0):
+            x = _s2d.space_to_depth(x, sf[0])
         skips = []
         for s, (f, n, k, st) in enumerate(zip(self.features_per_stage,
                                               self.n_conv_per_stage_encoder,
                                               self.kernel_sizes,
                                               self.strides)):
-            cls = nn.remat(StackedConvBlocksCF) if s < self.remat_stages \
-                else StackedConvBlocksCF
-            x = cls(n, f, k, st, dtype=self.dtype,
-                    name=f"encoder_stage{s}")(x, train=train)
+            in_f = sf[0] if s == 0 else sf[s - 1]
+            use_s2d = factored(s) or any(ff > 1 for ff in in_f)
+            base = StackedConvBlocksS2D if use_s2d else StackedConvBlocksCF
+            cls = nn.remat(base) if s < self.remat_stages else base
+            kwargs = dict(dtype=self.dtype, name=f"encoder_stage{s}")
+            if use_s2d:
+                x = cls(n, f, k, st, tuple(in_f), tuple(sf[s]),
+                        **kwargs)(x, train=train)
+            else:
+                x = cls(n, f, k, st, **kwargs)(x, train=train)
             skips.append(x)
         n_stages = len(self.features_per_stage)
         x = skips[-1]
@@ -200,20 +258,39 @@ class PlainConvUNetCF(nn.Module):
             skip_stage = n_stages - 2 - d
             f = self.features_per_stage[skip_stage]
             stride = tuple(self.strides[skip_stage + 1])
-            x = ConvTransposeCF(f, stride, stride, dtype=self.dtype,
-                                name=f"up{d}")(x)
+            src_f, dst_f = sf[skip_stage + 1], sf[skip_stage]
+            if factored(skip_stage) or any(ff > 1 for ff in src_f):
+                x = ConvTransposeS2D(f, stride, stride, tuple(src_f),
+                                     tuple(dst_f), dtype=self.dtype,
+                                     name=f"up{d}")(x)
+            else:
+                x = ConvTransposeCF(f, stride, stride, dtype=self.dtype,
+                                    name=f"up{d}")(x)
             x = jnp.concatenate([x, skips[skip_stage].astype(x.dtype)],
                                 axis=1)
-            cls = nn.remat(StackedConvBlocksCF) \
-                if skip_stage < self.remat_stages else StackedConvBlocksCF
-            x = cls(self.n_conv_per_stage_decoder[d], f,
-                    self.kernel_sizes[skip_stage],
-                    (1,) * dim, dtype=self.dtype,
-                    name=f"dec{d}")(x, train=train)
+            use_s2d = factored(skip_stage)
+            base = StackedConvBlocksS2D if use_s2d else StackedConvBlocksCF
+            cls = nn.remat(base) if skip_stage < self.remat_stages else base
+            kwargs = dict(dtype=self.dtype, name=f"dec{d}")
+            if use_s2d:
+                x = cls(self.n_conv_per_stage_decoder[d], f,
+                        self.kernel_sizes[skip_stage], (1,) * dim,
+                        tuple(dst_f), tuple(dst_f), **kwargs)(x, train=train)
+            else:
+                x = cls(self.n_conv_per_stage_decoder[d], f,
+                        self.kernel_sizes[skip_stage], (1,) * dim,
+                        **kwargs)(x, train=train)
             if self.deep_supervision or d == n_stages - 2:
-                seg = ConvCF(self.num_classes, (1,) * dim, (1,) * dim,
-                             dtype=jnp.float32, name=f"seg{d}")(
-                    x.astype(jnp.float32))
+                if use_s2d:
+                    rep = _s2d.rep_of(dst_f)
+                    seg = CellConv(self.num_classes, (1,) * dim, (1,) * dim,
+                                   rep, rep, dtype=jnp.float32,
+                                   name=f"seg{d}")(x.astype(jnp.float32))
+                    seg = _s2d.depth_to_space(seg, dst_f)
+                else:
+                    seg = ConvCF(self.num_classes, (1,) * dim, (1,) * dim,
+                                 dtype=jnp.float32, name=f"seg{d}")(
+                        x.astype(jnp.float32))
                 seg_outputs.append(jnp.moveaxis(seg, 1, -1))
         seg_outputs = seg_outputs[::-1]
         if not self.deep_supervision:

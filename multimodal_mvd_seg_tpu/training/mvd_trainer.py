@@ -140,8 +140,10 @@ class ContrastiveTrainer(MVDSegTrainer):
     def _init_network_state(self):
         patch = tuple(self.configuration_manager.patch_size)
         dummy = jnp.zeros((1, *patch, self.num_input_channels), jnp.bfloat16)
-        variables = self.network.init(self._next_rng(), dummy, train=False,
-                                      method="init_all")
+        variables = jax.jit(
+            lambda r, x: self.network.init(r, x, train=False,
+                                           method="init_all"))(
+            self._next_rng(), dummy)
         return self._init_state(variables["params"], variables)
 
     # ------------------------------------------------------------- jit steps

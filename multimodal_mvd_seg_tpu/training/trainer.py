@@ -237,7 +237,11 @@ class MVDSegTrainer:
         the MVD trainer swaps in its extended state)."""
         patch = tuple(self.configuration_manager.patch_size)
         dummy = jnp.zeros((1, *patch, self.num_input_channels), jnp.bfloat16)
-        variables = self.network.init(self._next_rng(), dummy, train=False)
+        # jit the init: flax init is otherwise eager (one tiny XLA program
+        # per op — hundreds of round-trips on a remote TPU backend)
+        variables = jax.jit(
+            lambda r, x: self.network.init(r, x, train=False))(
+            self._next_rng(), dummy)
         params = variables["params"]
         return TrainState(params=params, opt_state=self.tx.init(params),
                           step=jnp.zeros((), jnp.int32))
@@ -348,10 +352,19 @@ class MVDSegTrainer:
                     tgt = tgt[..., :-1]
                     pred, tgt = pred * mask, tgt * mask
             else:
+                # fg classes, computed on flattened (b, V) label maps: the
+                # one-hot (b, *sp, C) form lane-pads C=5 to 128 on TPU
                 num_classes = out.shape[-1]
-                pred = jax.nn.one_hot(jnp.argmax(out, -1), num_classes)
-                tgt = jax.nn.one_hot(seg, num_classes)
-                pred, tgt = pred[..., 1:], tgt[..., 1:]  # fg only
+                b = out.shape[0]
+                cls = jnp.argmax(out, -1).reshape(b, -1)
+                sg = seg.reshape(b, -1)
+                cidx = jnp.arange(1, num_classes).reshape(-1, 1, 1)
+                predc = cls[None] == cidx
+                tgtc = sg[None] == cidx
+                tp = jnp.sum(predc & tgtc, axis=(1, 2)).astype(jnp.float32)
+                fp = jnp.sum(predc & ~tgtc, axis=(1, 2)).astype(jnp.float32)
+                fn = jnp.sum(~predc & tgtc, axis=(1, 2)).astype(jnp.float32)
+                return {"loss": loss, "tp": tp, "fp": fp, "fn": fn}
             axes = tuple(range(out.ndim - 1))
             tp = jnp.sum(pred * tgt, axes)
             fp = jnp.sum(pred * (1 - tgt), axes)
@@ -441,6 +454,13 @@ class MVDSegTrainer:
     def on_train_start(self):
         self.initialize()
         self.get_dataloaders()
+        # plans/dataset.json into the model base folder: the predictor's
+        # initialize_from_trained_model_folder restores from them
+        # (reference nnUNetTrainer.on_train_start writes both)
+        save_json(self.plans_manager.plans, join(self.output_folder_base,
+                                                 "plans.json"), sort_keys=False)
+        save_json(self.dataset_json, join(self.output_folder_base,
+                                          "dataset.json"), sort_keys=False)
         save_json({"init": {"configuration": self.configuration_name,
                             "fold": self.fold},
                    "trainer": self.__class__.__name__,

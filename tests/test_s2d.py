@@ -1,0 +1,189 @@
+"""Space-to-depth execution domain (ops/s2d.py): exact equivalence with the
+plain channels-first conv path at every cell-conv mode, and end-to-end
+through PlainConvUNetCF."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_mvd_seg_tpu.ops import s2d
+
+DN = ("NCDHW", "OIDHW", "NCDHW")
+FACTORS = [(1, 2, 2), (2, 2, 1), (2, 2, 2)]
+
+
+def plain_conv(x, w, stride=(1, 1, 1)):
+    return jax.lax.conv_general_dilated(x, w, stride, "SAME",
+                                        dimension_numbers=DN)
+
+
+def _rel_err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    return np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 3, 8, 12, 16), jnp.float32)
+    return rs, x
+
+
+@pytest.mark.parametrize("f", FACTORS)
+def test_roundtrip(data, f):
+    _, x = data
+    xs = s2d.space_to_depth(x, f)
+    assert _rel_err(s2d.depth_to_space(xs, f), x) == 0.0
+
+
+@pytest.mark.parametrize("f", FACTORS)
+def test_stride1_pair_and_masked_norm(data, f):
+    rs, x = data
+    xs = s2d.space_to_depth(x, f)
+    rep0, rep1 = s2d.rep_of(f), s2d.phase_up(s2d.rep_of(f))
+    w1 = jnp.asarray(rs.randn(5, 3, 3, 3, 3) * 0.2, jnp.float32)
+    w2 = jnp.asarray(rs.randn(4, 5, 3, 3, 3) * 0.2, jnp.float32)
+    up = s2d.CellConvSpec((3, 3, 3), (1, 1, 1), rep0, rep1, xs.shape[2:])
+    y1 = up(xs, w1)
+    m, _ = s2d.artifact_mask(rep1, y1.shape[2:])
+    F = s2d.rep_F(rep1)
+    y1m = (y1.reshape(2, 5, F, *y1.shape[2:]) * m).reshape(y1.shape)
+    dn = s2d.CellConvSpec((3, 3, 3), (1, 1, 1), rep1, rep0, y1m.shape[2:])
+    got = s2d.depth_to_space(dn(y1m, w2), f)
+    ref = plain_conv(plain_conv(x, w1), w2)
+    assert _rel_err(got, ref) < 2e-5
+
+    # masked IN on the phase-1 intermediate == plain IN on the logical tensor
+    sc = jnp.asarray(rs.rand(5) + 0.5, jnp.float32)
+    bi = jnp.asarray(rs.randn(5) * 0.1, jnp.float32)
+    z = s2d.masked_instance_norm_act(y1m, rep1, sc, bi)
+    r1 = plain_conv(x, w1)
+    mm = r1.mean(axis=(2, 3, 4), keepdims=True)
+    vv = r1.var(axis=(2, 3, 4), keepdims=True)
+    refn = jax.nn.leaky_relu(
+        (r1 - mm) * jax.lax.rsqrt(vv + 1e-5) * sc.reshape(1, -1, 1, 1, 1)
+        + bi.reshape(1, -1, 1, 1, 1), 0.01)
+    zf = np.asarray(s2d.depth_to_space(z, f))
+    sl = [slice(None)] * 2 + [slice(1, 1 + L) if ff == 2 else slice(None)
+                              for L, ff in zip((8, 12, 16), f)]
+    assert _rel_err(zf[tuple(sl)], refn) < 2e-5
+
+
+@pytest.mark.parametrize("f", [(1, 2, 2), (2, 2, 1)])
+def test_strided_modes(data, f):
+    rs, x = data
+    xs = s2d.space_to_depth(x, f)
+    rep0, rep1 = s2d.rep_of(f), s2d.phase_up(s2d.rep_of(f))
+    # phase-up strided entry into another s2d stage, then down
+    w3 = jnp.asarray(rs.randn(6, 3, 3, 3, 3) * 0.2, jnp.float32)
+    w4 = jnp.asarray(rs.randn(4, 6, 3, 3, 3) * 0.2, jnp.float32)
+    sup = s2d.CellConvSpec((3, 3, 3), (2, 2, 2), rep0, rep1, xs.shape[2:])
+    u = sup(xs, w3)
+    mu, _ = s2d.artifact_mask(rep1, u.shape[2:])
+    um = (u.reshape(2, 6, s2d.rep_F(rep1), *u.shape[2:]) * mu
+          ).reshape(u.shape)
+    dn2 = s2d.CellConvSpec((3, 3, 3), (1, 1, 1), rep1, rep0, um.shape[2:])
+    got = s2d.depth_to_space(dn2(um, w4), f)
+    ref = plain_conv(plain_conv(x, w3, (2, 2, 2)), w4)
+    assert _rel_err(got, ref) < 2e-5
+    # strided exit into the normal domain
+    e = s2d.CellConvSpec((3, 3, 3), (2, 2, 2), rep0, s2d.normal_rep(3),
+                         xs.shape[2:])(xs, w3)
+    assert _rel_err(e, plain_conv(x, w3, (2, 2, 2))) < 2e-5
+
+
+@pytest.mark.parametrize("f", FACTORS)
+def test_seg_head_diag_and_transpose(data, f):
+    rs, x = data
+    xs = s2d.space_to_depth(x, f)
+    rep0 = s2d.rep_of(f)
+    w6 = jnp.asarray(rs.randn(4, 3, 1, 1, 1) * 0.2, jnp.float32)
+    g = s2d.CellConvSpec((1, 1, 1), (1, 1, 1), rep0, rep0, xs.shape[2:])(
+        xs, w6)
+    assert _rel_err(s2d.depth_to_space(g, f), plain_conv(x, w6)) < 2e-5
+
+    wt = jnp.asarray(rs.randn(3, 6, 2, 2, 2) * 0.2, jnp.float32)
+    ref = jax.lax.conv_transpose(
+        x, wt, (2, 2, 2), "SAME",
+        dimension_numbers=("NCDHW", "IODHW", "NCDHW"))
+    tr = s2d.cell_transpose(x, wt, s2d.normal_rep(3), rep0, (2, 2, 2))
+    assert _rel_err(s2d.depth_to_space(tr, f), ref) < 2e-5
+    xsmall = jnp.asarray(np.random.RandomState(1).randn(2, 3, 4, 6, 8),
+                         jnp.float32)
+    tr2 = s2d.cell_transpose(s2d.space_to_depth(xsmall, f), wt, rep0, rep0,
+                             (2, 2, 2))
+    ref2 = jax.lax.conv_transpose(
+        xsmall, wt, (2, 2, 2), "SAME",
+        dimension_numbers=("NCDHW", "IODHW", "NCDHW"))
+    assert _rel_err(s2d.depth_to_space(tr2, f), ref2) < 2e-5
+
+
+def test_unet_s2d_equivalence():
+    """PlainConvUNetCF with s2d_stages=2 has the identical parameter tree
+    and (to fp32 roundoff) identical outputs as the plain execution."""
+    from multimodal_mvd_seg_tpu.models.unet import PlainConvUNetCF
+    kw = dict(features_per_stage=[8, 16, 32, 64],
+              n_conv_per_stage_encoder=[2] * 4,
+              n_conv_per_stage_decoder=[2] * 3,
+              kernel_sizes=[[3, 3, 3]] * 4,
+              strides=[[1, 1, 1], [2, 2, 2], [2, 2, 2], [1, 2, 2]],
+              num_classes=3, deep_supervision=True, dtype=jnp.float32)
+    net0 = PlainConvUNetCF(**kw)
+    net2 = PlainConvUNetCF(**kw, s2d_stages=2, s2d_factors=(1, 2, 2))
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 32, 32, 2),
+                    jnp.float32)
+    p0 = jax.jit(lambda r, t: net0.init(r, t, train=False))(
+        jax.random.PRNGKey(0), x)["params"]
+    p2 = jax.jit(lambda r, t: net2.init(r, t, train=False))(
+        jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(p0) == jax.tree.structure(p2)
+    assert max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), p0, p2))) == 0.0
+    o0 = net0.apply({"params": p0}, x, train=True)
+    o2 = net2.apply({"params": p0}, x, train=True)
+    for a, b in zip(o0, o2):
+        assert _rel_err(a, b) < 1e-4
+    # gradients flow and match shapes
+    def lossf(net):
+        def f(p):
+            return sum(jnp.sum(t) for t in net.apply({"params": p}, x,
+                                                     train=True))
+        return f
+    g0 = jax.grad(lossf(net0))(p0)
+    g2 = jax.grad(lossf(net2))(p0)
+    # conv-bias grads are ~0 under instance norm (IN is invariant to a
+    # per-channel constant), so compare against the GLOBAL gradient scale
+    scale = max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g0))
+    errs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()) / scale, g0, g2)
+    assert max(jax.tree.leaves(errs)) < 5e-3
+
+
+def test_stage_factor_demotion():
+    from multimodal_mvd_seg_tpu.models.unet import s2d_stage_factors
+    # odd W at stage0 -> demote every stage (prefix rule)
+    sf = s2d_stage_factors((16, 32, 30), [[3, 3, 3]] * 3,
+                           [[1, 1, 1], [2, 2, 2], [2, 2, 2]],
+                           [2, 2, 2], [2, 2], 2, (1, 2, 2))
+    assert sf[0] == (1, 1, 1)
+    # odd conv count -> demoted
+    sf = s2d_stage_factors((16, 32, 32), [[3, 3, 3]] * 3,
+                           [[1, 1, 1], [2, 2, 2], [2, 2, 2]],
+                           [3, 2, 2], [2, 2], 2, (1, 2, 2))
+    assert sf[0] == (1, 1, 1)
+    # eligible: stage0+1 factored
+    sf = s2d_stage_factors((16, 32, 32), [[3, 3, 3]] * 3,
+                           [[1, 1, 1], [2, 2, 2], [2, 2, 2]],
+                           [2, 2, 2], [2, 2], 2, (1, 2, 2))
+    assert sf[0] == (1, 2, 2) and sf[1] == (1, 2, 2) and sf[2] == (1, 1, 1)
+
+
+def test_factory_uses_s2d(synthetic_raw_dataset):
+    """The factory's PlainConvUNetCF defaults carry the s2d execution flags
+    and the resulting net still produces correct shapes."""
+    from multimodal_mvd_seg_tpu.models.factory import _default_s2d_factors
+    assert _default_s2d_factors((64, 128, 256)) == (1, 2, 2)
+    assert _default_s2d_factors((160, 128, 112)) == (2, 2, 1)
+    assert _default_s2d_factors((320, 256)) == (2, 2)
