@@ -26,13 +26,14 @@ reachable through ``method=``-dispatch: ``project``, ``predict`` and
 ``selector_scores`` (see MVD trainer).
 """
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .unetrpp import (UnetOutBlock, UnetResBlock, UnetrPPEncoder,
-                      UnetrUpBlock)
+from ..ops import s2d as _s2d
+from .unetrpp import (UnetOutBlockCF, UnetResBlockCF, UnetrPPEncoderCF,
+                      UnetrUpBlockCF)
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -77,41 +78,51 @@ class ContrastiveNet(nn.Module):
     remat: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
+    # full-resolution blocks run in the space-to-depth domain (ops/s2d.py):
+    # feature_size=16 channels would otherwise lane-pad 8x on TPU. Factors
+    # (2,2,2) lift them to C=128 cell convs. Pass None (the factory does
+    # this for non-divisible patches) to use plain channels-first blocks.
+    s2d_factors: Optional[Sequence[int]] = (2, 2, 2)
+
     def setup(self):
         fs = self.feature_size
-        self.share_encoder = UnetrPPEncoder(
+        self.share_encoder = UnetrPPEncoderCF(
             dims=tuple(self.encoder_dims), proj_size=tuple(self.proj_size),
             depths=tuple(self.depths), num_heads=self.num_heads,
             in_channels=self.input_channels, stem_stride=(2, 2, 2),
             stage_strides=((2, 2, 2), (2, 2, 2), (2, 4, 4)),
             remat=self.remat, dtype=self.dtype)
-        # full-resolution stem on the T2 channel
-        self.encoder1 = UnetResBlock(fs, kernel_size=3, dtype=self.dtype)
 
-        def up(out_ch, stride, conv_decoder=False, proj=64):
-            return UnetrUpBlock(out_channels=out_ch, upsample_stride=stride,
-                                proj_size=proj, num_heads=self.num_heads,
-                                conv_decoder=conv_decoder, remat=self.remat,
-                                dtype=self.dtype)
+        def up(out_ch, stride, conv_decoder=False, proj=64, s2d=None):
+            return UnetrUpBlockCF(out_channels=out_ch, upsample_stride=stride,
+                                  proj_size=proj, num_heads=self.num_heads,
+                                  conv_decoder=conv_decoder,
+                                  s2d_factors=s2d, remat=self.remat,
+                                  dtype=self.dtype)
+
+        sf = None if self.s2d_factors is None else tuple(self.s2d_factors)
+        # full-resolution stem on the T2 channel
+        self.encoder1 = UnetResBlockCF(fs, kernel_size=3, s2d_factors=sf,
+                                       dtype=self.dtype)
 
         # branch 1 (T2): 256 → 128 → 64 → 32 → 16
         self.decoder5 = up(fs * 8, (2, 4, 4))
         self.decoder4 = up(fs * 4, (2, 2, 2))
         self.decoder3 = up(fs * 2, (2, 2, 2))
-        self.decoder2 = up(fs, (2, 2, 2), conv_decoder=True)
+        self.decoder2 = up(fs, (2, 2, 2), conv_decoder=True, s2d=sf)
         # branch 2 (TOF)
         self.decoder5_ = up(fs * 8, (2, 4, 4))
         self.decoder4_ = up(fs * 4, (2, 2, 2))
         self.decoder3_ = up(fs * 2, (2, 2, 2))
-        self.decoder2_ = up(fs, (2, 2, 2), conv_decoder=True)
+        self.decoder2_ = up(fs, (2, 2, 2), conv_decoder=True, s2d=sf)
 
-        self.out1 = UnetOutBlock(self.num_classes)
-        self.out1_ = UnetOutBlock(self.num_classes)
+        self.out1 = UnetOutBlockCF(self.num_classes, s2d_factors=sf)
+        self.out1_ = UnetOutBlockCF(self.num_classes, s2d_factors=sf)
         if self.do_ds:
-            self.out2 = UnetOutBlock(self.num_classes)
-            self.out3 = UnetOutBlock(self.num_classes)
-            self.out2_ = UnetOutBlock(self.num_classes)
-            self.out3_ = UnetOutBlock(self.num_classes)
+            self.out2 = UnetOutBlockCF(self.num_classes)
+            self.out3 = UnetOutBlockCF(self.num_classes)
+            self.out2_ = UnetOutBlockCF(self.num_classes)
+            self.out3_ = UnetOutBlockCF(self.num_classes)
 
         fd = self.feat_dim
         self.projection_head1 = MLPHead(fd, fd)
@@ -127,10 +138,20 @@ class ContrastiveNet(nn.Module):
             for c in range(self.num_classes)]
 
     def __call__(self, data, *, train: bool = True):
-        bottleneck, hidden = self.share_encoder(data, train=train)
-        half = bottleneck.shape[-1] // 2
-        fea1, fea2 = bottleneck[..., :half], bottleneck[..., half:]
-        stem = self.encoder1(data[..., 0:1], train=train)
+        # channels-last boundary, channels-first (+s2d) execution inside
+        xc = jnp.moveaxis(data, -1, 1)
+        sf = None if self.s2d_factors is None else tuple(self.s2d_factors)
+        if sf is not None:
+            assert all(d % (2 * f) == 0
+                       for d, f in zip(xc.shape[2:], sf)), \
+                (xc.shape, sf, "pass s2d_factors=None for this patch")
+        bottleneck, hidden = self.share_encoder(xc, train=train)
+        half = bottleneck.shape[1] // 2
+        fea1, fea2 = bottleneck[:, :half], bottleneck[:, half:]
+        stem_in = xc[:, 0:1]
+        if sf is not None:
+            stem_in = _s2d.space_to_depth(stem_in, sf)
+        stem = self.encoder1(stem_in, train=train)
         enc1, enc2, enc3 = hidden[0], hidden[1], hidden[2]
 
         dec3 = self.decoder5(fea1, enc3, train=train)
@@ -143,11 +164,18 @@ class ContrastiveNet(nn.Module):
         dec1_ = self.decoder3_(dec2_, enc1, train=train)
         out_ = self.decoder2_(dec1_, stem, train=train)
 
+        def cl(t):  # channels-first fp32 logits -> channels-last
+            return jnp.moveaxis(t, 1, -1)
+
         if self.do_ds:
-            logits = [self.out1(out), self.out2(dec1), self.out3(dec2)]
-            logits_ = [self.out1_(out_), self.out2_(dec1_), self.out3_(dec2_)]
-            return logits, logits_, out, out_
-        return self.out1(out)
+            logits = [cl(self.out1(out)), cl(self.out2(dec1)),
+                      cl(self.out3(dec2))]
+            logits_ = [cl(self.out1_(out_)), cl(self.out2_(dec1_)),
+                       cl(self.out3_(dec2_))]
+            fea = out if sf is None else _s2d.depth_to_space(out, sf)
+            fea_ = out_ if sf is None else _s2d.depth_to_space(out_, sf)
+            return logits, logits_, cl(fea), cl(fea_)
+        return cl(self.out1(out))
 
     def init_all(self, data, *, train: bool = False):
         """Initialization entry point: traces the dual forward AND every

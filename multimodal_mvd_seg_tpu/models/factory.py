@@ -86,12 +86,17 @@ def get_dual_network_from_plans(plans_manager: PlansManager,
     downsampling (16, 32, 32) — the MVD plan's 64×128×256 patch is."""
     from .contrastive_net import ContrastiveNet
     label_manager = plans_manager.get_label_manager(dataset_json)
+    patch = configuration_manager.patch_size
+    # full-res blocks run space-to-depth when the patch allows (ops/s2d.py);
+    # otherwise plain channels-first
+    s2d = (2,) * len(patch) if all(p % 4 == 0 for p in patch) else None
     return ContrastiveNet(
         input_channels=num_input_channels,
         num_classes=label_manager.num_segmentation_heads,
         feature_size=16,
         num_heads=4,
         do_ds=deep_supervision,
+        s2d_factors=s2d,
     )
 
 

@@ -298,3 +298,329 @@ class UnetrUpBlock(nn.Module):
                             dtype=self.dtype,
                             name=f"decoder_block{j}")(x, train)
         return x
+
+
+# ---------------------------------------------------------------------------
+# Channels-first (+ space-to-depth) variants — the TPU fast path used by the
+# flagship ContrastiveNet. The channels-last classes above are kept for the
+# auxiliary model families; these CF twins hold identical math with
+# activations (B, C, *spatial) and tokens (B, C, N): segmentation nets have
+# C in {16..128} at the big stages, which lane-pads up to 8x in
+# channels-last. Full-resolution conv blocks can additionally run in the
+# space-to-depth cell domain (ops/s2d.py) where C*8 >= 128.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+from ..ops import s2d as _s2d
+from .blocks import (ConvCF, ConvTransposeCF, ConvTransposeS2D, CellConv,
+                     instance_norm_act_cf)
+
+
+class _InstanceNormActCF(nn.Module):
+    """Affine instance norm (+ optional leaky relu) for (B, C, *sp) or an
+    s2d rep; param layout {scale, bias} like nn.InstanceNorm."""
+    features: int
+    act: bool = False
+    rep: tuple = None  # s2d rep; None = plain channels-first
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        if self.rep is not None:
+            return _s2d.masked_instance_norm_act(x, self.rep, scale, bias,
+                                                 act=self.act)
+        return instance_norm_act_cf(x, act=self.act, scale=scale, bias=bias)
+
+
+class UnetResBlockCF(nn.Module):
+    """UnetResBlock on channels-first tensors; optional s2d execution
+    (s2d_rep != None: input/output at that phase-0 rep, stride must be 1)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    norm: str = "instance"
+    s2d_factors: Optional[Tuple[int, ...]] = None
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        dim = x.ndim - 2
+        k = (self.kernel_size,) * dim
+        s = (self.stride,) * dim
+        f = self.features
+
+        def norm(name, y, act, rep=None):
+            if self.norm == "batch":
+                y = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                                 momentum=0.9, axis=1, dtype=jnp.float32,
+                                 name=name)(y)
+                if act:
+                    y = nn.leaky_relu(y.astype(jnp.float32), 0.01)
+                return y.astype(self.dtype)
+            return _InstanceNormActCF(f, act=act, rep=rep, name=name)(y)
+
+        if self.s2d_factors is not None:
+            assert self.stride == 1 and self.norm == "instance"
+            rep0 = _s2d.rep_of(self.s2d_factors)
+            rep1 = _s2d.phase_up(rep0)
+            F = _s2d.rep_F(rep0)
+            cin = x.shape[1] // F
+            y = CellConv(f, k, s, rep0, rep1, dtype=self.dtype,
+                         name="conv1")(x)
+            y = norm("norm1", y, act=True, rep=rep1)
+            y = CellConv(f, k, s, rep1, rep0, dtype=self.dtype,
+                         name="conv2")(y)
+            y = norm("norm2", y, act=False, rep=rep0)
+            if cin != f:
+                x = CellConv(f, (1,) * dim, s, rep0, rep0, dtype=self.dtype,
+                             name="conv3")(x)
+                x = norm("norm3", x, act=False, rep=rep0)
+            return nn.leaky_relu(y.astype(jnp.float32)
+                                 + x.astype(jnp.float32),
+                                 0.01).astype(self.dtype)
+
+        y = ConvCF(f, k, s, dtype=self.dtype, name="conv1")(x)
+        y = norm("norm1", y, act=True)
+        y = ConvCF(f, k, (1,) * dim, dtype=self.dtype, name="conv2")(y)
+        y = norm("norm2", y, act=False)
+        if x.shape[1] != f or self.stride != 1:
+            y_in = ConvCF(f, (1,) * dim, s, dtype=self.dtype,
+                          name="conv3")(x)
+            x = norm("norm3", y_in, act=False)
+        return nn.leaky_relu(y.astype(jnp.float32) + x.astype(jnp.float32),
+                             0.01).astype(self.dtype)
+
+
+class EPACF(nn.Module):
+    """EPA over channel-major tokens (B, C, N) — same math as EPA, without
+    the (…, C) lane padding (C is 32-512 here; N is the minor axis)."""
+    hidden_size: int
+    proj_size: int
+    num_heads: int = 4
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        B, C, N = x.shape
+        h = self.num_heads
+        hd = C // h
+        w_qkvv = self.param("qkvv", _trunc02, (C, 4, h, hd), jnp.float32)
+        qkvv = jnp.einsum("bcn,cfhd->bfhdn", x,
+                          w_qkvv.astype(x.dtype)).astype(jnp.float32)
+        q, k, v_ca, v_sa = [qkvv[:, i] for i in range(4)]  # (B,h,hd,N)
+
+        proj = self.param("proj_ef", _trunc02, (N, self.proj_size),
+                          jnp.float32)
+        k_proj = jnp.einsum("bhcn,np->bhcp", k, proj)
+        v_sa_proj = jnp.einsum("bhcn,np->bhcp", v_sa, proj)
+
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
+                             1e-12)
+        kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True),
+                             1e-12)
+        t_ca = self.param("temperature", nn.initializers.ones, (h, 1, 1),
+                          jnp.float32)
+        t_sa = self.param("temperature2", nn.initializers.ones, (h, 1, 1),
+                          jnp.float32)
+
+        attn_ca = jnp.einsum("bhcn,bhdn->bhcd", qn, kn) * t_ca
+        attn_ca = jax.nn.softmax(attn_ca, axis=-1)
+        attn_ca = nn.Dropout(self.dropout_rate, deterministic=not train,
+                             name="drop_ca")(attn_ca)
+        x_ca = jnp.einsum("bhcd,bhdn->bhcn", attn_ca, v_ca)
+        x_ca = x_ca.reshape(B, C, N)
+
+        attn_sa = jnp.einsum("bhcn,bhcp->bhnp", qn, k_proj) * t_sa
+        attn_sa = jax.nn.softmax(attn_sa, axis=-1)
+        attn_sa = nn.Dropout(self.dropout_rate, deterministic=not train,
+                             name="drop_sa")(attn_sa)
+        x_sa = jnp.einsum("bhnp,bhcp->bhcn", attn_sa, v_sa_proj)
+        x_sa = x_sa.reshape(B, C, N)
+
+        w_ca = self.param("out_proj", _trunc02, (C, C // 2), jnp.float32)
+        w_sa = self.param("out_proj2", _trunc02, (C, C // 2), jnp.float32)
+        out_ca = jnp.einsum("bcn,cd->bdn", x_ca.astype(self.dtype),
+                            w_ca.astype(self.dtype))
+        out_sa = jnp.einsum("bcn,cd->bdn", x_sa.astype(self.dtype),
+                            w_sa.astype(self.dtype))
+        return jnp.concatenate([out_sa, out_ca], axis=1)
+
+
+class TransformerBlockCF(nn.Module):
+    """TransformerBlock on (B, C, *sp) with channel-major tokens."""
+    hidden_size: int
+    proj_size: int
+    num_heads: int = 4
+    dropout_rate: float = 0.1
+    pos_embed: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        B, C = x.shape[:2]
+        spatial = x.shape[2:]
+        N = int(_np.prod(spatial))
+        tokens = x.reshape(B, C, N)
+        if self.pos_embed:
+            pe = self.param("pos_embed", nn.initializers.zeros, (1, C, N),
+                            jnp.float32)
+            tokens = tokens + pe.astype(tokens.dtype)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (C,),
+                           jnp.float32)
+        normed = nn.LayerNorm(dtype=jnp.float32, reduction_axes=1,
+                              feature_axes=1, name="norm")(tokens)
+        attn = EPACF(self.hidden_size, self.proj_size, self.num_heads,
+                     self.dropout_rate, dtype=self.dtype,
+                     name="epa_block")(normed.astype(self.dtype), train=train)
+        tokens = tokens + gamma.reshape(1, C, 1).astype(attn.dtype) * attn
+        vol = tokens.reshape(B, C, *spatial)
+        conv = UnetResBlockCF(C, kernel_size=3, norm="batch",
+                              dtype=self.dtype, name="conv51")(vol, train)
+        conv = nn.Dropout(0.1, deterministic=not train, name="drop8")(conv)
+        conv = ConvCF(C, (1,) * len(spatial), (1,) * len(spatial),
+                      dtype=self.dtype, name="conv8")(conv)
+        return (vol + conv).astype(self.dtype)
+
+
+class _GroupNormCF(nn.Module):
+    features: int
+    groups: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, C = x.shape[:2]
+        g = self.groups
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        xf = x.astype(jnp.float32).reshape(B, g, C // g, *x.shape[2:])
+        red = tuple(range(2, xf.ndim))
+        m = xf.mean(axis=red, keepdims=True)
+        v = xf.var(axis=red, keepdims=True)
+        y = ((xf - m) * jax.lax.rsqrt(v + 1e-5)).reshape(B, C, *x.shape[2:])
+        shp = (1, C) + (1,) * (x.ndim - 2)
+        y = y * scale.reshape(shp) + bias.reshape(shp)
+        return y.astype(x.dtype)
+
+
+class _DownsampleStageCF(nn.Module):
+    features: int
+    stride: Sequence[int]
+    depth: int
+    proj_size: int
+    num_heads: int
+    groups: int
+    transformer_dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        x = ConvCF(self.features, tuple(self.stride), tuple(self.stride),
+                   dtype=self.dtype, name="down")(x)
+        x = _GroupNormCF(self.features, self.groups, name="norm")(x)
+        block_cls = nn.remat(TransformerBlockCF, static_argnums=(2,)) \
+            if self.remat else TransformerBlockCF
+        for j in range(self.depth):
+            x = block_cls(self.features, self.proj_size, self.num_heads,
+                          self.transformer_dropout_rate, pos_embed=True,
+                          dtype=self.dtype, name=f"block{j}")(x, train)
+        return x
+
+
+class UnetrPPEncoderCF(nn.Module):
+    """Channels-first UnetrPPEncoder: (B, C, *sp) in, (bottleneck, hidden)."""
+    dims: Sequence[int] = (32, 64, 128, 256)
+    proj_size: Sequence[int] = (64, 64, 64, 32)
+    depths: Sequence[int] = (3, 3, 3, 3)
+    num_heads: int = 4
+    in_channels: int = 1
+    stem_stride: Sequence[int] = (2, 4, 4)
+    stage_strides: Sequence[Sequence[int]] = ((2, 2, 2), (2, 2, 2), (2, 2, 2))
+    transformer_dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        hidden_states = []
+        strides = [self.stem_stride] + [tuple(s) for s in self.stage_strides]
+        groups = [self.in_channels] + list(self.dims[:-1])
+        for i in range(4):
+            x = _DownsampleStageCF(
+                self.dims[i], strides[i], self.depths[i], self.proj_size[i],
+                self.num_heads, groups[i], self.transformer_dropout_rate,
+                dtype=self.dtype, remat=self.remat,
+                name=f"stage{i}")(x, train=train)
+            hidden_states.append(x)
+        return x, hidden_states
+
+
+class UnetrUpBlockCF(nn.Module):
+    """Channels-first UnetrUpBlock; ``s2d_factors`` runs the conv-decoder
+    block (and the upsample) in the s2d domain — the skip must already be
+    in that rep."""
+    out_channels: int
+    upsample_stride: Sequence[int]
+    kernel_size: int = 3
+    proj_size: int = 64
+    num_heads: int = 4
+    depth: int = 3
+    conv_decoder: bool = False
+    norm: str = "instance"
+    s2d_factors: Optional[Tuple[int, ...]] = None
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool = True):
+        s = tuple(self.upsample_stride)
+        dim = len(s)
+        if self.s2d_factors is not None:
+            x = ConvTransposeS2D(self.out_channels, s, s,
+                                 (1,) * dim, tuple(self.s2d_factors),
+                                 dtype=self.dtype, name="transp_conv")(x)
+        else:
+            x = ConvTransposeCF(self.out_channels, s, s, dtype=self.dtype,
+                                name="transp_conv")(x)
+        x = x + skip.astype(x.dtype)
+        res_cls = nn.remat(UnetResBlockCF, static_argnums=(2,)) \
+            if self.remat else UnetResBlockCF
+        blk_cls = nn.remat(TransformerBlockCF, static_argnums=(2,)) \
+            if self.remat else TransformerBlockCF
+        if self.conv_decoder:
+            x = res_cls(self.out_channels, self.kernel_size, norm=self.norm,
+                        s2d_factors=self.s2d_factors, dtype=self.dtype,
+                        name="decoder_block")(x, train)
+        else:
+            for j in range(self.depth):
+                x = blk_cls(self.out_channels, self.proj_size,
+                            self.num_heads, 0.1, pos_embed=True,
+                            dtype=self.dtype,
+                            name=f"decoder_block{j}")(x, train)
+        return x
+
+
+class UnetOutBlockCF(nn.Module):
+    """1x1 segmentation head on (B, C, *sp) (or an s2d rep; output is
+    depth-to-spaced back). Logits fp32, channels-first."""
+    num_classes: int
+    s2d_factors: Optional[Tuple[int, ...]] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.ndim - 2
+        if self.s2d_factors is not None:
+            rep = _s2d.rep_of(self.s2d_factors)
+            y = CellConv(self.num_classes, (1,) * dim, (1,) * dim, rep, rep,
+                         dtype=jnp.float32, name="conv")(
+                x.astype(jnp.float32))
+            return _s2d.depth_to_space(y, self.s2d_factors)
+        return ConvCF(self.num_classes, (1,) * dim, (1,) * dim,
+                      dtype=jnp.float32, name="conv")(x.astype(jnp.float32))

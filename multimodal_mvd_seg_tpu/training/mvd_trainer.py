@@ -115,10 +115,25 @@ class ContrastiveTrainer(MVDSegTrainer):
 
     # ------------------------------------------------------------------ setup
 
+    #: total downsampling of the dual net's shared encoder
+    #: (stem (2,2,2) x stages (2,2,2),(2,2,2),(2,4,4) — HybridNetwork.py:1676)
+    ENCODER_DIVISOR = (16, 32, 32)
+
     def initialize(self):
         if self.was_initialized:
             return
-        patch = tuple(self.configuration_manager.patch_size)
+        # ContrastiveNet's fixed encoder needs patch axes divisible by
+        # (16, 32, 32); plans produced for PlainConvUNet pooling may not be.
+        # Round up — the patch sampler pads cases smaller than the patch.
+        patch = list(self.configuration_manager.patch_size)
+        div = self.ENCODER_DIVISOR[-len(patch):]
+        rounded = [int(-(-p // d) * d) for p, d in zip(patch, div)]
+        if rounded != patch:
+            self.print_to_log_file(
+                f"patch {patch} -> {rounded} (dual-net encoder needs "
+                f"multiples of {div})")
+            self.configuration_manager.configuration["patch_size"] = rounded
+        patch = tuple(rounded)
         if self.topo_pool is None:
             # pool each axis down to ≤32 voxels for the per-step topo term
             self.topo_pool = tuple(max(1, p // 32) for p in patch)
