@@ -39,10 +39,12 @@ def _maybe_pool(x: jnp.ndarray, factor: Optional[Sequence[int]]):
     full gudhi cost on CPU; SURVEY.md §7 'hard parts')."""
     if factor is None or all(f == 1 for f in factor):
         return x
-    window = tuple(factor)
+    window = tuple(int(f) for f in factor)
+    denom = 1
+    for f in window:
+        denom *= f
     return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, window, window, "VALID"
-    ) / float(jnp.prod(jnp.asarray(window)))
+        x, 0.0, jax.lax.add, window, window, "VALID") / float(denom)
 
 
 def topo_wasserstein(pred: jnp.ndarray, target: jnp.ndarray,

@@ -56,6 +56,19 @@ from ..data.augment import augment_batch, downsample_seg_for_ds
 from .trainer import MVDSegTrainer
 
 
+def _backend_supports_callbacks() -> bool:
+    """Whether jax.pure_callback works on the default backend. The topo loss
+    runs persistence on the host through a callback; some remote-attached
+    PJRT backends (e.g. tunneled TPUs) reject host send/recv."""
+    try:
+        out = jax.jit(lambda x: jax.pure_callback(
+            lambda a: np.asarray(a) + 1.0,
+            jax.ShapeDtypeStruct((), np.float32), x))(jnp.float32(1.0))
+        return bool(np.isfinite(float(out)))
+    except Exception:
+        return False
+
+
 @flax.struct.dataclass
 class MVDTrainState:
     params: dict
@@ -137,6 +150,12 @@ class ContrastiveTrainer(MVDSegTrainer):
         if self.topo_pool is None:
             # pool each axis down to ≤32 voxels for the per-step topo term
             self.topo_pool = tuple(max(1, p // 32) for p in patch)
+        if self.enable_topo_loss and not _backend_supports_callbacks():
+            self.print_to_log_file(
+                "WARNING: this JAX backend does not support host callbacks "
+                "(pure_callback) — disabling the topological loss term. "
+                "Standard CPU/TPU runtimes support it.")
+            self.enable_topo_loss = False
         super().initialize()
 
     def _init_state(self, params, extra_variables):
@@ -276,13 +295,23 @@ class ContrastiveTrainer(MVDSegTrainer):
                     params, state.batch_stats, k_drop,
                     data.astype(jnp.bfloat16), True)
                 l = self.loss(out1, targets) + self.loss(out2, targets)
-                p1 = jax.nn.softmax(out1[0].astype(jnp.float32), -1)
-                p2 = jax.nn.softmax(out2[0].astype(jnp.float32), -1)
-                mutual = kl_loss_compute1(p1[..., vessel], p2[..., vessel])
+
+                def vessel_prob(logits):
+                    # softmax + channel select in (b, c, voxels) layout: the
+                    # (..., C) softmax lane-pads C=5 to 128 on TPU
+                    b, c = logits.shape[0], logits.shape[-1]
+                    lg = jnp.swapaxes(logits.reshape(b, -1, c), 1, 2)
+                    logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=1)
+                    return jnp.exp(logp[:, vessel]).reshape(
+                        logits.shape[:-1])
+
+                p1v = vessel_prob(out1[0])
+                p2v = vessel_prob(out2[0])
+                mutual = kl_loss_compute1(p1v, p2v)
                 if self.enable_topo_loss:
                     tgt_vessel = (seg == vessel).astype(jnp.float32)
                     topo = topo_wasserstein(
-                        p1[..., vessel], tgt_vessel,
+                        p1v, tgt_vessel,
                         topo_dim=self.topo_feat_d, q=2.0, cap=self.topo_cap,
                         downsample=self.topo_pool)
                 else:
@@ -326,15 +355,19 @@ class ContrastiveTrainer(MVDSegTrainer):
             targets = downsample_seg_for_ds(seg, self._ds_scales())
             loss = self.loss(out1, targets) + self.loss(out2, targets)
             out = out1[0]
+            # fg tp/fp/fn on flattened label maps ((..., C) one-hots
+            # lane-pad C=5 to 128 on TPU)
             num_classes = out.shape[-1]
-            pred = jax.nn.one_hot(jnp.argmax(out, -1), num_classes)
-            tgt = jax.nn.one_hot(seg, num_classes)
-            pred, tgt = pred[..., 1:], tgt[..., 1:]
-            axes = tuple(range(out.ndim - 1))
+            b = out.shape[0]
+            cls = jnp.argmax(out, -1).reshape(b, -1)
+            sg = seg.reshape(b, -1)
+            cidx = jnp.arange(1, num_classes).reshape(-1, 1, 1)
+            predc = cls[None] == cidx
+            tgtc = sg[None] == cidx
             return {"loss": loss,
-                    "tp": jnp.sum(pred * tgt, axes),
-                    "fp": jnp.sum(pred * (1 - tgt), axes),
-                    "fn": jnp.sum((1 - pred) * tgt, axes)}
+                    "tp": jnp.sum(predc & tgtc, (1, 2)).astype(jnp.float32),
+                    "fp": jnp.sum(predc & ~tgtc, (1, 2)).astype(jnp.float32),
+                    "fn": jnp.sum(~predc & tgtc, (1, 2)).astype(jnp.float32)}
 
         self._train_step_fn = jax.jit(
             train_step,

@@ -126,3 +126,37 @@ def test_factory_csnet_wingsnet():
     cfg = pm.get_configuration("3d_fullres")
     assert get_CSNet_from_plans(pm, dataset_json, cfg, 2).classes == 3
     assert get_wingsnet_from_plans(pm, dataset_json, cfg, 2).in_channel == 2
+
+
+def test_hybridnet_variant_bindings():
+    """v1..v6 bind the reference's distinguishing configurations and all
+    forward with the right output contract."""
+    import jax
+    from multimodal_mvd_seg_tpu.models import hybrid_net as H
+    patch = (16, 32, 32)
+    x = _x(patch=patch)
+    small = dict(num_classes=NC, feature_size=4, depths=(1, 1, 1, 1),
+                 encoder_dims=(8, 16, 32, 64), hidden_size=64,
+                 cnn_features=(8, 16, 32, 64, 64))
+    mirror = ((2, 4, 4), (2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 1, 1))
+    plain = ((1, 1, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 4, 4))
+    cfgs = {
+        H.HybridNet_v1: dict(cnn_strides=plain),
+        H.HybridNet_v2: dict(cnn_strides=plain),
+        H.HybridNet_v3: {},
+        H.HybridNet_v4: dict(cnn_strides=plain),
+        H.HybridNet_v5: dict(cnn_strides=mirror),
+        H.HybridNet_v6: dict(cnn_strides=plain),
+    }
+    for cls, extra in cfgs.items():
+        net = cls(**small, **extra)
+        logits, f1c, f2c, f1cl, f2cl = _init_apply(net, x)
+        assert logits[0].shape == (1, *patch, NC), cls.__name__
+        assert f1c.shape == (1, 256) and f1cl.shape == (1, 1), cls.__name__
+    # the knobs really differ
+    assert H.HybridNet_v1.decoder_source == "cnn_skips"
+    assert H.HybridNet_v2.proj_residual is True
+    assert H.HybridNet_v3.share_mode == "dual_trans"
+    assert H.HybridNet_v4.share_mode == "joint"
+    assert H.HybridNet_v5.skip_fusion == "enhanced"
+    assert H.HybridNet_v6.skip_fusion == "none"

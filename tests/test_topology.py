@@ -198,3 +198,19 @@ def test_pallas_conv_matches_xla():
     ref = _xla_conv3_cf(x, w, b)
     got = _pallas_conv3_fwd(x, w, b, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_topo_wasserstein_downsample_under_jit():
+    """The average-pool speed knob must trace (regression: a float() on a
+    traced constant broke the paper-scale topo path, where topo_pool > 1)."""
+    from multimodal_mvd_seg_tpu.losses.topo import topo_wasserstein
+    rng = np.random.RandomState(0)
+    p = jnp.asarray(rng.rand(1, 8, 8, 8), jnp.float32)
+    t = jnp.asarray((rng.rand(1, 8, 8, 8) > 0.5), jnp.float32)
+    f = jax.jit(lambda a, b: topo_wasserstein(a, b, topo_dim=None, cap=64,
+                                              downsample=(2, 2, 2)))
+    v = float(f(p, t))
+    assert np.isfinite(v)
+    g = jax.jit(jax.grad(lambda a: topo_wasserstein(
+        a, t, topo_dim=None, cap=64, downsample=(2, 2, 2))))(p)
+    assert np.isfinite(np.asarray(g)).all()
