@@ -53,7 +53,7 @@ def main():
         num_classes=classes,
         deep_supervision=True,
         s2d_stages=2,
-        s2d_factors=(1, 2, 2))
+        s2d_factors=(2, 2, 1))
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, channels), jnp.bfloat16)

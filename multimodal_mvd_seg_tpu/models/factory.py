@@ -24,11 +24,17 @@ def _features_per_stage(configuration_manager: ConfigurationManager):
 
 
 def _default_s2d_factors(patch_size):
-    """Split the two largest patch axes (space-to-depth execution of the
-    early stages: measured 1.85 -> 3.0 train steps/s on the 3d_fullres
-    benchmark shape, see ops/s2d.py). Ineligible stages are demoted at
-    trace time by unet.s2d_stage_factors, so this is always safe."""
+    """Space-to-depth factors for the early stages (measured 1.85 -> 4.2
+    train steps/s on the 3d_fullres benchmark shape, see ops/s2d.py).
+
+    Prefer splitting the two leading axes and leaving the minor (lane) axis
+    whole: splitting the minor axis produces odd-length phase-1 cell dims
+    whose lane padding costs extra bandwidth (measured (2,2,1) > (1,2,2)).
+    Ineligible stages are demoted at trace time by unet.s2d_stage_factors,
+    so this is always safe."""
     dim = len(patch_size)
+    if dim == 3 and patch_size[0] % 4 == 0 and patch_size[1] % 4 == 0:
+        return (2, 2, 1)
     order = sorted(range(dim), key=lambda a: -patch_size[a])
     split = set(order[:min(2, dim)])
     return tuple(2 if a in split else 1 for a in range(dim))

@@ -184,6 +184,9 @@ def test_factory_uses_s2d(synthetic_raw_dataset):
     """The factory's PlainConvUNetCF defaults carry the s2d execution flags
     and the resulting net still produces correct shapes."""
     from multimodal_mvd_seg_tpu.models.factory import _default_s2d_factors
-    assert _default_s2d_factors((64, 128, 256)) == (1, 2, 2)
+    # 3D with 4-divisible leading axes: leave the minor (lane) axis whole
+    assert _default_s2d_factors((64, 128, 256)) == (2, 2, 1)
     assert _default_s2d_factors((160, 128, 112)) == (2, 2, 1)
+    # fallback: split the two largest axes
+    assert _default_s2d_factors((30, 128, 256)) == (1, 2, 2)
     assert _default_s2d_factors((320, 256)) == (2, 2)
