@@ -69,7 +69,14 @@ class MVDSegPredictor:
             with open(join(model_training_output_dir, f"fold_{f}",
                            checkpoint_name), "rb") as fh:
                 checkpoint = pickle.load(fh)
-            params_list.append(checkpoint["network_weights"])
+            if checkpoint.get("batch_stats"):
+                # networks with BatchNorm (e.g. the MVD ContrastiveNet,
+                # reference predict_from_raw_data2.py's dual-net restore)
+                # need the running statistics alongside the weights
+                params_list.append({"params": checkpoint["network_weights"],
+                                    "batch_stats": checkpoint["batch_stats"]})
+            else:
+                params_list.append(checkpoint["network_weights"])
 
         configuration_manager = plans_manager.get_configuration(
             checkpoint["init_args"]["configuration"])

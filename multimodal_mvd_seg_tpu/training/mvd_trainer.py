@@ -146,6 +146,12 @@ class ContrastiveTrainer(MVDSegTrainer):
                 f"patch {patch} -> {rounded} (dual-net encoder needs "
                 f"multiples of {div})")
             self.configuration_manager.configuration["patch_size"] = rounded
+            # persist into the plans dict too: the transformer encoder has
+            # input-size-dependent parameters (pos embeds, EPA projections),
+            # so the predictor must rebuild with the SAME patch from the
+            # plans.json written to the model folder
+            self.plans_manager.plans["configurations"].setdefault(
+                self.configuration_name, {})["patch_size"] = rounded
         patch = tuple(rounded)
         if self.topo_pool is None:
             # pool each axis down to ≤32 voxels for the per-step topo term

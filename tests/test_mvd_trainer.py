@@ -130,3 +130,64 @@ def test_mvd_val_step_and_registry(mvd_trainer):
     from multimodal_mvd_seg_tpu.training.mvd_trainer import ContrastiveTrainer
     assert get_trainer_class("ContrastiveTrainer") is ContrastiveTrainer
     assert get_trainer_class("MVDTrainer") is ContrastiveTrainer
+
+
+def test_patch_rounding_persists_to_plans(tmp_path):
+    """Plans patches not divisible by the dual encoder's (16,32,32) are
+    rounded up, AND the rounded value lands in the plans dict (the UNETR++
+    pos-embed/EPA params are input-size-dependent, so the predictor must
+    rebuild from the same patch)."""
+    import os
+    from multimodal_mvd_seg_tpu.training.mvd_trainer import ContrastiveTrainer
+    import __graft_entry__ as ge
+
+    plans, dataset_json = ge._tiny_plans_and_dataset(patch=(20, 28, 32))
+    os.environ["MVDSEG_raw"] = str(tmp_path / "raw")
+    os.environ["MVDSEG_preprocessed"] = str(tmp_path / "pre")
+    os.environ["MVDSEG_results"] = str(tmp_path / "res")
+    for d in ("raw", "pre", "res"):
+        (tmp_path / d).mkdir(exist_ok=True)
+    from multimodal_mvd_seg_tpu import paths
+    paths.refresh()
+
+    class T(ContrastiveTrainer):
+        def _init_network_state(self):      # skip the expensive net build
+            raise _Stop()
+
+    class _Stop(Exception):
+        pass
+
+    tr = T(plans, "3d_fullres", 0, dataset_json)
+    try:
+        tr.initialize()
+    except _Stop:
+        pass
+    assert tr.configuration_manager.patch_size == [32, 32, 32]
+    assert plans["configurations"]["3d_fullres"]["patch_size"] == [32, 32, 32]
+
+
+def test_predictor_restores_batch_stats(tmp_path):
+    """Checkpoints carrying batch_stats (the dual net's BatchNorm) restore
+    as full flax variables dicts (reference predict_from_raw_data2.py's
+    dual-net state-dict handling)."""
+    import pickle
+    from multimodal_mvd_seg_tpu.inference.predictor import MVDSegPredictor
+    import __graft_entry__ as ge
+    from multimodal_mvd_seg_tpu.utils.files import save_json
+
+    plans, dataset_json = ge._tiny_plans_and_dataset(patch=(16, 16, 16))
+    mdir = tmp_path / "model"
+    (mdir / "fold_0").mkdir(parents=True)
+    save_json(plans, str(mdir / "plans.json"))
+    save_json(dataset_json, str(mdir / "dataset.json"))
+    ckpt = {"network_weights": {"w": np.zeros(2)},
+            "batch_stats": {"bn": {"mean": np.zeros(2)}},
+            "init_args": {"configuration": "3d_fullres"},
+            "trainer_name": "MVDSegTrainer",
+            "inference_allowed_mirroring_axes": (0, 1, 2)}
+    with open(mdir / "fold_0" / "checkpoint_final.pkl", "wb") as f:
+        pickle.dump(ckpt, f)
+    pred = MVDSegPredictor(verbose=False)
+    pred.initialize_from_trained_model_folder(str(mdir), use_folds=(0,))
+    entry = pred.params_list[0]
+    assert "params" in entry and "batch_stats" in entry
