@@ -8,9 +8,10 @@ Two data layouts:
 - ``channels_first`` (B, C, *spatial): the fast path on TPU for the early
   U-Net stages — bf16 tiles are (16 sublanes × 128 lanes) on the two minor
   dims, so channels-last tensors with C∈{16,32,64} waste 2–8× HBM in lane
-  padding, while channels-first puts the large spatial dims minor (measured:
-  1.42 → 2.09 train steps/s on the 3d_fullres benchmark shape, and the
-  no-padding activations fit 16G HBM without rematerialization).
+  padding, while channels-first puts the large spatial dims minor
+  (measured: 1.41 → 1.85 train steps/s on the 3d_fullres benchmark shape;
+  the space-to-depth execution below then takes it to 4.19 — see
+  ops/s2d.py and documentation/tpu_performance.md).
 """
 
 from typing import Sequence, Tuple, Union
