@@ -11,12 +11,10 @@
    rest suppressed) + an MSE reproduction term (weights topo=1, sqdiff=10,
    k=20).
 3. ``topo_critical_point_loss`` — reference training/loss/TopoLossNIPS.py
-   (:8-224, gudhi-based): match the prediction's diagram to the target's;
-   MSE that pushes matched critical pixels toward the target values and
-   unmatched (noise) bars toward the diagonal — expressed here directly as
-   the squared-Wasserstein objective restricted to critical pixels, which
-   is the same gradient signal the NIPS'19 implementation assembles by
-   hand through its force/weight maps.
+   (:8-224, gudhi-based): per-patch dim-0 persistence of 1−likelihood,
+   rank-matching of prediction bars against the ground truth's
+   (compute_dgm_force), host-built critical-pixel weight/reference maps,
+   and a device-side MSE over those pixels (faithful getTopoLoss port).
 
 All run persistence on the host C++ core (ops/persistence.py) and assemble
 gradients on device; batch elements go through ``jax.vmap`` (the callbacks
@@ -141,30 +139,113 @@ class TopoBarcodeLoss:
         return self.w_topo * topo + self.w_sqdiff * sq
 
 
+def _nips_critical_maps(like: "np.ndarray", gt: "np.ndarray",
+                        topo_size: int, pers_thresh: float,
+                        pers_thresh_perfect: float, cap: int):
+    """Host side of the NIPS'19 topology loss (reference
+    TopoLossNIPS.py:133-224 getTopoLoss): per topo_size x topo_size patch,
+    dim-0 sublevel persistence of (1 - likelihood), rank-match the
+    prediction's bars against the ground truth's
+    (compute_dgm_force :8-90), and write the critical-pixel weight and
+    reference maps:
+
+    - holes to FIX (top-|gt| persistence, not already 'perfect'):
+      birth pixel -> 0, death pixel -> 1 (in the 1-likelihood scale the
+      diagram lives in; reference comments :171-180);
+    - holes to REMOVE (persistence > pers_thresh, beyond the gt count):
+      birth pixel -> likelihood at the death pixel and vice versa (pull
+      the bar onto the diagonal, :181-218).
+
+    Critical pixels come from the V-construction vertex pairs of the C++
+    core (the reference reads gudhi T-construction top cells — same
+    critical-pixel semantics, potentially one-voxel offsets)."""
+    import numpy as np
+    from ..ops.persistence import _host_cubical
+
+    w_map = np.zeros_like(like, dtype=np.float32)
+    r_map = np.zeros_like(like, dtype=np.float32)
+    H, W = like.shape
+
+    def crit(patch01):
+        inv = (1.0 - patch01).astype(np.float32)
+        dims, b_idx, d_idx = _host_cubical(inv, 0, cap, True)
+        keep = (dims == 0) & (d_idx >= 0)
+        b_idx, d_idx = b_idx[keep], d_idx[keep]
+        flat = inv.reshape(-1)
+        pd = np.stack([flat[b_idx], flat[d_idx]], 1) if b_idx.size else \
+            np.zeros((0, 2), np.float32)
+        return pd, b_idx, d_idx
+
+    for y in range(0, H, topo_size):
+        for x in range(0, W, topo_size):
+            lp = like[y:min(y + topo_size, H), x:min(x + topo_size, W)]
+            gp = gt[y:min(y + topo_size, H), x:min(x + topo_size, W)]
+            if lp.min() == 1 or lp.max() == 0 or gp.min() == 1 or gp.max() == 0:
+                continue
+            pd_lh, bcp, dcp = crit(lp)
+            pd_gt, _, _ = crit(gp)
+            if pd_lh.shape[0] == 0 or pd_gt.shape[0] == 0:
+                continue
+            # ---- compute_dgm_force (:8-90) ----
+            lh_pers = np.abs(pd_lh[:, 1] - pd_lh[:, 0])
+            gt_n = pd_gt.shape[0]
+            order = np.argsort(lh_pers)[::-1]
+            perfect = order[:int((lh_pers > pers_thresh_perfect).sum())]
+            fix_or_perfect = order[:gt_n]
+            to_fix = list(set(fix_or_perfect.tolist())
+                          - set(perfect.tolist()))
+            to_remove = [i for i in order[gt_n:].tolist()
+                         if lh_pers[i] > pers_thresh]
+            pw = lp.shape[1]
+
+            def pos(idx):
+                return y + idx // pw, x + idx % pw
+
+            for i in to_fix:
+                by, bx = pos(int(bcp[i]))
+                w_map[by, bx] = 1.0
+                r_map[by, bx] = 0.0
+                dy, dx = pos(int(dcp[i]))
+                w_map[dy, dx] = 1.0
+                r_map[dy, dx] = 1.0
+            for i in to_remove:
+                by, bx = pos(int(bcp[i]))
+                dy, dx = pos(int(dcp[i]))
+                w_map[by, bx] = 1.0
+                r_map[by, bx] = like[dy, dx]
+                w_map[dy, dx] = 1.0
+                r_map[dy, dx] = like[by, bx]
+    return w_map, r_map
+
+
 def topo_critical_point_loss(likelihood: jnp.ndarray, target: jnp.ndarray,
-                             topo_dim: Optional[int] = None,
-                             cap: int = 512,
+                             topo_size: int = 100, cap: int = 512,
+                             pers_thresh: float = 0.03,
+                             pers_thresh_perfect: float = 0.99,
                              patch: Optional[int] = None) -> jnp.ndarray:
-    """NIPS'19-style topology loss (reference TopoLossNIPS.getTopoLoss
-    :133-224): squared-distance objective on the matched critical points of
-    the likelihood map vs the ground-truth diagram. ``patch`` optionally
-    tiles the (single) 2D map into patch×patch windows like the reference's
-    100×100 loop."""
+    """NIPS'19 topology loss (reference TopoLossNIPS.py getTopoLoss
+    :133-224): Σ (likelihood·weight_map − ref_map)² with the critical-pixel
+    maps built on the host (no gradient through the maps, exactly like the
+    reference's detached numpy construction). ``likelihood`` is the
+    probability map in [0, 1] (the reference's final MSE multiplies its raw
+    pre-sigmoid tensor against [0,1] references — an apparent bug we do not
+    reproduce); ``target`` the binary ground truth. 2D maps (batched via
+    vmap outside if needed). ``patch`` is an alias for ``topo_size``."""
+    import numpy as np
+    if patch is not None:
+        topo_size = patch
     like = likelihood.astype(jnp.float32)
     tgt = target.astype(jnp.float32)
-    if patch is not None and like.ndim == 2:
-        h = (like.shape[0] // patch) * patch
-        w = (like.shape[1] // patch) * patch
-        like = like[:h, :w].reshape(h // patch, patch, w // patch, patch)
-        like = like.transpose(0, 2, 1, 3).reshape(-1, patch, patch)
-        tgt = tgt[:h, :w].reshape(h // patch, patch, w // patch, patch)
-        tgt = tgt.transpose(0, 2, 1, 3).reshape(-1, patch, patch)
-    else:
-        like = like[None]
-        tgt = tgt[None]
+    assert like.ndim == 2, "NIPS'19 loss is 2D (reference y/x patch loop)"
 
-    def one(p, t):
-        return topo_wasserstein(p[None], t[None], topo_dim=topo_dim, q=2.0,
-                                cap=cap) ** 2
+    def cb(l, t):
+        return _nips_critical_maps(np.asarray(l), np.asarray(t), topo_size,
+                                   pers_thresh, pers_thresh_perfect, cap)
 
-    return jax.vmap(one)(like, tgt).mean()
+    w_map, r_map = jax.pure_callback(
+        cb,
+        (jax.ShapeDtypeStruct(like.shape, jnp.float32),
+         jax.ShapeDtypeStruct(like.shape, jnp.float32)),
+        jax.lax.stop_gradient(like), jax.lax.stop_gradient(tgt),
+        vmap_method="sequential")
+    return jnp.sum((like * w_map - r_map) ** 2)
