@@ -116,12 +116,17 @@ def run_training_entry():
     p.add_argument("-sp", "--specified_cfg", default=None,
                    help="output-folder suffix (the fork's -sp flag)")
     p.add_argument("-device", default="auto")
+    p.add_argument("--multi_host", action="store_true",
+                   help="initialize jax.distributed for a multi-host run "
+                        "(launch the same command on every host; coordinator "
+                        "from TPU pod metadata or JAX_COORDINATOR_ADDRESS/"
+                        "JAX_NUM_PROCESSES/JAX_PROCESS_ID)")
     a = p.parse_args()
     from ..run.run_training import run_training
     run_training(a.dataset_name_or_id, a.configuration, a.fold, a.tr, a.p,
                  a.pretrained_weights, a.num_gpus, a.npz, a.c, a.val,
                  a.disable_checkpointing, a.val_best, a.specified_cfg,
-                 a.device)
+                 a.device, multi_host=a.multi_host)
 
 
 # --------------------------------------------------------------- predict

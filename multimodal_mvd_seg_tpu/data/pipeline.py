@@ -93,7 +93,17 @@ class PrefetchLoader:
                 self.check_workers_alive_and_busy()
                 continue
             data, seg, *rest = batch
-            if self.sharding is not None:
+            if self.sharding is not None and jax.process_count() > 1:
+                # multi-host: this process produced only ITS slice of the
+                # global batch (the trainer sizes the sampler per host);
+                # assemble the global sharded array from the local shard —
+                # the jax.distributed equivalent of the reference's
+                # per-rank DDP batch partition (nnUNetTrainer.py:304-349)
+                data = jax.make_array_from_process_local_data(
+                    self.sharding, data)
+                seg = jax.make_array_from_process_local_data(
+                    self.sharding, seg)
+            elif self.sharding is not None:
                 data = jax.device_put(data, self.sharding)
                 seg = jax.device_put(seg, self.sharding)
             else:

@@ -300,7 +300,20 @@ class MVDSegPredictor:
                            num_processes_segmentation_export: int = 1,
                            folder_with_segs_from_prev_stage: Optional[str] = None):
         """End-to-end: read raw files → preprocess → sliding window → export
-        (reference predict_from_files :206-425)."""
+        (reference predict_from_files :206-425).
+
+        OVERLAPPED PIPELINE (reference data_iterators.py:17-316 +
+        predict_from_raw_data.py:347-425): preprocessing runs in
+        ``num_processes_preprocessing`` background worker threads feeding a
+        bounded prefetch window, and exports run asynchronously in
+        ``num_processes_segmentation_export`` workers — the device never
+        waits on host resampling between cases and never blocks on NIfTI
+        writing. Threads (not processes) because the heavy host work is
+        numpy/scipy which releases the GIL, and the device compute thread
+        mostly blocks in XLA anyway; this sidesteps the reference's
+        dead-worker liveness problem (SURVEY §5) entirely."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
         from ..preprocessing.preprocessor import DefaultPreprocessor
         from ..utils.dataset_files import create_lists_from_splitted_dataset_folder
         from .export import export_prediction_from_logits
@@ -321,10 +334,9 @@ class MVDSegPredictor:
         else:
             out_names = output_folder_or_list_of_truncated_output_files
 
-        preprocessor = DefaultPreprocessor(verbose=self.verbose)
-        results = []
+        ending = self.dataset_json["file_ending"]
+        cases = []
         for files, out_trunc in zip(list_of_lists, out_names):
-            ending = self.dataset_json["file_ending"]
             out_file = out_trunc if out_trunc.endswith(ending) \
                 else out_trunc + ending
             if not overwrite and isfile(out_file):
@@ -333,22 +345,48 @@ class MVDSegPredictor:
             if folder_with_segs_from_prev_stage is not None:
                 seg_prev = join(folder_with_segs_from_prev_stage,
                                 os.path.basename(out_trunc) + ending)
+            cases.append((files, seg_prev, out_file))
+
+        def _prep(case):
+            files, seg_prev, out_file = case
+            preprocessor = DefaultPreprocessor(verbose=self.verbose)
             data, seg, properties = preprocessor.run_case(
-                files, seg_prev, self.plans_manager, self.configuration_manager,
-                self.dataset_json)
+                files, seg_prev, self.plans_manager,
+                self.configuration_manager, self.dataset_json)
             if seg_prev is not None:
                 from ..plans.label_handling import convert_labelmap_to_one_hot
                 onehot = convert_labelmap_to_one_hot(
                     seg[0], self.label_manager.foreground_labels, data.dtype)
                 data = np.vstack((data, onehot))
-            logits = self.predict_preprocessed_case(data)
-            export_prediction_from_logits(
-                logits, properties, self.configuration_manager,
-                self.plans_manager, self.dataset_json, out_file,
-                save_probabilities=save_probabilities)
-            results.append(out_file)
-            if self.verbose:
-                print(f"predicted {out_file}")
+            return data, properties, out_file
+
+        n_prep = max(1, int(num_processes_preprocessing))
+        n_export = max(1, int(num_processes_segmentation_export))
+        results, export_futures = [], []
+        with ThreadPoolExecutor(n_prep) as prep_pool, \
+                ThreadPoolExecutor(n_export) as export_pool:
+            case_iter = iter(cases)
+            pending = deque()
+            # bounded prefetch: at most n_prep+1 cases preprocessed ahead
+            # (backpressure — whole volumes are large)
+            for case in itertools.islice(case_iter, n_prep + 1):
+                pending.append(prep_pool.submit(_prep, case))
+            while pending:
+                data, properties, out_file = pending.popleft().result()
+                nxt = next(case_iter, None)
+                if nxt is not None:
+                    pending.append(prep_pool.submit(_prep, nxt))
+                logits = self.predict_preprocessed_case(data)
+                export_futures.append(export_pool.submit(
+                    export_prediction_from_logits, logits, properties,
+                    self.configuration_manager, self.plans_manager,
+                    self.dataset_json, out_file,
+                    save_probabilities=save_probabilities))
+                results.append(out_file)
+                if self.verbose:
+                    print(f"predicted {out_file}")
+            for fut in export_futures:
+                fut.result()  # surface export errors
         return results
 
 

@@ -45,6 +45,109 @@ def _maybe_pool(x: jnp.ndarray, factor: Optional[Sequence[int]]):
         x, 0.0, jax.lax.add, window, window, "VALID") / float(denom)
 
 
+def topo_match_host(pred: "np.ndarray", target: "np.ndarray",
+                    topo_dim: Optional[int], q: float, cap: int):
+    """Host half of the two-phase topological loss.
+
+    Runs cubical persistence (C++ core) on the *pooled* prediction and
+    ground-truth maps and the optimal q-Wasserstein matching between the
+    finite ``topo_dim`` bars of each sample — exactly the combinatorial,
+    gradient-detached work that ``topo_wasserstein`` does through
+    ``jax.pure_callback``. Split out so backends that reject host callbacks
+    (e.g. the axon-tunneled TPU) can run it *between* two device programs:
+    device jit #1 produces the pooled vessel probabilities, this function
+    produces the match data, and ``topo_loss_from_match`` (inside the train
+    jit) re-reads the birth/death values differentiably. Matches the
+    reference's structure, where the matching is a detached constant of the
+    gradient (MVDTrainer.py:904-924 via torch_topological).
+
+    pred/target: (B, *spatial) float arrays (already pooled).
+    Returns a dict of numpy arrays, shapes fixed by ``cap``:
+      b_idx   (B, cap) int32  birth critical-vertex flat index (-1 pad)
+      d_idx   (B, cap) int32  death critical-vertex flat index
+      partner (B, cap, 2) f32 matched target (birth, death); unused for
+                              diagonal-matched bars
+      diag    (B, cap) bool   pred bar matched to its diagonal projection
+      valid   (B, cap) bool   real pred bar (contributes cost)
+      const   (B,)     f32    target-side unmatched diagonal cost (constant)
+    """
+    import numpy as np
+    from ..ops.persistence import _host_cubical
+    from ..ops.wasserstein import _host_match
+
+    B = pred.shape[0]
+    maxdim = pred.ndim - 2
+    b_idx = np.full((B, cap), -1, np.int32)
+    d_idx = np.full((B, cap), -1, np.int32)
+    partner = np.zeros((B, cap, 2), np.float32)
+    diag = np.zeros((B, cap), bool)
+    valid = np.zeros((B, cap), bool)
+    const = np.zeros((B,), np.float32)
+
+    def finite_bars(img):
+        dims, bi, di = _host_cubical(np.asarray(img, np.float32), maxdim,
+                                     cap, False)
+        keep = (dims >= 0) & (di >= 0)
+        if topo_dim is not None:
+            keep &= dims == topo_dim
+        flat = np.asarray(img, np.float32).reshape(-1)
+        dgm = np.stack([flat[np.clip(bi, 0, None)],
+                        flat[np.clip(di, 0, None)]], -1).astype(np.float32)
+        return dgm, keep, bi, di
+
+    for s in range(B):
+        d1, m1, bi, di = finite_bars(pred[s])
+        d2, m2, _, _ = finite_bars(target[s])
+        match1, match2 = _host_match(d1, m1, d2, m2, q)
+        valid[s] = match1 != -2
+        b_idx[s] = np.where(valid[s], bi, -1)
+        d_idx[s] = np.where(valid[s], di, -1)
+        diag[s] = match1 == -1
+        matched = match1 >= 0
+        partner[s][matched] = d2[np.clip(match1, 0, None)][matched]
+        unmatched2 = match2 == -1
+        const[s] = ((np.abs(d2[:, 1] - d2[:, 0]) / 2.0) ** q)[
+            unmatched2].sum()
+    return {"b_idx": b_idx, "d_idx": d_idx, "partner": partner,
+            "diag": diag, "valid": valid, "const": const}
+
+
+def topo_loss_from_match(pred: jnp.ndarray, match: dict, q: float = 2.0
+                         ) -> jnp.ndarray:
+    """Device half of the two-phase topological loss: assemble the
+    q-Wasserstein value differentiably from the pooled prediction and the
+    host match data of ``topo_match_host``. Gradients reach exactly the
+    critical voxels (the same routing as the single-jit
+    ``topo_wasserstein`` — equivalence is asserted in
+    tests/test_topology.py)."""
+
+    def one(p, b_idx, d_idx, partner, diag, valid, const):
+        flat = p.reshape(-1).astype(jnp.float32)
+        b = jnp.take(flat, jnp.clip(b_idx, 0), fill_value=0.0)
+        d = jnp.take(flat, jnp.clip(d_idx, 0), fill_value=0.0)
+        pair_cost = jnp.max(jnp.abs(jnp.stack([b, d], -1) - partner),
+                            -1) ** q
+        diag_cost = (jnp.abs(d - b) / 2.0) ** q
+        cost = jnp.where(valid, jnp.where(diag, diag_cost, pair_cost), 0.0)
+        return (cost.sum() + const) ** (1.0 / q)
+
+    return jax.vmap(one)(pred, match["b_idx"], match["d_idx"],
+                         match["partner"], match["diag"], match["valid"],
+                         match["const"]).mean()
+
+
+def dummy_topo_match(batch: int, cap: int):
+    """Zero-cost placeholder match pytree (static shapes) for steps whose
+    topological term is disabled or computed through the callback path."""
+    import numpy as np
+    return {"b_idx": np.full((batch, cap), -1, np.int32),
+            "d_idx": np.full((batch, cap), -1, np.int32),
+            "partner": np.zeros((batch, cap, 2), np.float32),
+            "diag": np.zeros((batch, cap), bool),
+            "valid": np.zeros((batch, cap), bool),
+            "const": np.zeros((batch,), np.float32)}
+
+
 def topo_wasserstein(pred: jnp.ndarray, target: jnp.ndarray,
                      topo_dim: Optional[int] = 2, q: float = 2.0,
                      cap: int = 512,

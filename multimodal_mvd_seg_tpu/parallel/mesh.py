@@ -8,8 +8,12 @@ XLA inserts the gradient psums over ICI. The per-rank batch-size/oversample
 partitioning logic (reference nnUNetTrainer.py:304-349) disappears: the
 sampler produces the *global* batch and sharding distributes it.
 
-A 'model' axis is reserved for tensor-parallel runs of the dual-branch MVD
-network (branch parallelism / channel sharding)."""
+The mesh carries a second 'model' axis so callers can build non-trivial
+(data, model) layouts, but no shipped trainer shards parameters on it today
+— the reference has data parallelism only (SURVEY.md §2b parallelism
+census), and every trainer here pjits with params replicated. Pass
+n_model=1 (the default) unless you are experimenting with your own
+partition specs."""
 
 from typing import Optional, Sequence
 

@@ -107,6 +107,23 @@ def load_pretrained_weights(trainer, weights_file: str):
         f"taken, {skipped} skipped (shape/name mismatch)")
 
 
+def initialize_multi_host(coordinator_address: Optional[str] = None,
+                          num_processes: Optional[int] = None,
+                          process_id: Optional[int] = None):
+    """Idempotent ``jax.distributed.initialize()`` wrapper. Arguments
+    default to the environment (TPU pod metadata autodetection, or
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)."""
+    import jax
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
+    return jax.process_index(), jax.process_count()
+
+
 def run_training(dataset_name_or_id: Union[int, str], configuration: str,
                  fold: Union[int, str],
                  trainer_name: str = "MVDSegTrainer",
@@ -119,8 +136,22 @@ def run_training(dataset_name_or_id: Union[int, str], configuration: str,
                  disable_checkpointing: bool = False,
                  val_with_best: bool = False,
                  specified_cfg: Optional[str] = None,
-                 device: str = "auto"):
-    """reference run_training.py:186-252."""
+                 device: str = "auto",
+                 multi_host: bool = False):
+    """reference run_training.py:186-252.
+
+    multi_host=True initializes ``jax.distributed`` before anything touches
+    the backend — the TPU-native replacement for the reference's
+    MASTER_ADDR + mp.spawn + NCCL process group (:152-231). Launch the SAME
+    command on every host; the coordinator is discovered from the standard
+    environment (TPU pod metadata, or JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID for CPU/GPU clusters). The mesh then
+    spans all hosts' devices, each host feeds its slice of the global batch
+    (PrefetchLoader + make_array_from_process_local_data), gradient psums
+    ride ICI/DCN, and checkpoints/logs are written by process 0 only.
+    """
+    if multi_host:
+        initialize_multi_host()
     if isinstance(fold, str) and fold != "all":
         fold = int(fold)
 

@@ -27,7 +27,13 @@ structure, not an omission):
 - the topo loss runs the cubical persistence + optimal matching on host
   (the reference pays the same CPU cost through gudhi/torch_topological)
   with the vessel maps average-pooled by ``topo_pool`` first — the
-  documented speed knob; gradients reach the critical voxels by gather;
+  documented speed knob; gradients reach the critical voxels by gather.
+  Two equivalent execution modes (``topo_mode``): "callback" embeds the
+  host work in the train jit via jax.pure_callback; "two_phase" splits the
+  step into probe jit → host persistence/matching → train jit (for
+  backends that reject host callbacks, e.g. the axon-tunneled bench TPU) —
+  the matching is a gradient-detached constant either way, so both modes
+  produce identical loss and gradients (asserted in tests);
 - branch-2's contrastive call mirrors the reference's num_classes=2
   argument (:971 — deliberate mirror of the shipped behavior, see
   ``contra_classes_branch2``).
@@ -50,7 +56,9 @@ from ..losses.contrastive import contrastive_class_to_class_learned_memory
 from ..losses.distill import kl_loss_compute1
 from ..losses.feature_memory import (add_features_learned, elements_per_class,
                                      init_feature_memory, sample_class_rows)
-from ..losses.topo import topo_wasserstein
+from ..losses.topo import (_maybe_pool, dummy_topo_match,
+                           topo_loss_from_match, topo_match_host,
+                           topo_wasserstein)
 from ..models.factory import get_dual_network_from_plans
 from ..data.augment import augment_batch, downsample_seg_for_ds
 from .trainer import MVDSegTrainer
@@ -114,6 +122,15 @@ class ContrastiveTrainer(MVDSegTrainer):
         self.topo_pool: Optional[tuple] = None  # set in initialize()
         self.enable_topo_loss = True
         self.topo_cap = 256
+        # "auto" resolves at initialize(): "callback" (persistence through
+        # jax.pure_callback inside the train jit) where the backend supports
+        # host callbacks, else "two_phase" (device probe jit → host
+        # persistence+matching → train jit taking the match as input) —
+        # the design that runs the topological term on callback-less
+        # backends like the axon-tunneled TPU. "off" disables the term.
+        self.topo_mode = "auto"
+        self.topo_q = 2.0
+        self._dummy_match_cache = {}
 
     def build_network_architecture(self, deep_supervision: bool = True):
         return get_dual_network_from_plans(
@@ -156,12 +173,18 @@ class ContrastiveTrainer(MVDSegTrainer):
         if self.topo_pool is None:
             # pool each axis down to ≤32 voxels for the per-step topo term
             self.topo_pool = tuple(max(1, p // 32) for p in patch)
-        if self.enable_topo_loss and not _backend_supports_callbacks():
-            self.print_to_log_file(
-                "WARNING: this JAX backend does not support host callbacks "
-                "(pure_callback) — disabling the topological loss term. "
-                "Standard CPU/TPU runtimes support it.")
-            self.enable_topo_loss = False
+        if not self.enable_topo_loss:
+            self.topo_mode = "off"
+        elif self.topo_mode == "auto":
+            if _backend_supports_callbacks():
+                self.topo_mode = "callback"
+            else:
+                self.topo_mode = "two_phase"
+                self.print_to_log_file(
+                    "This JAX backend does not support host callbacks "
+                    "(pure_callback) — running the topological loss through "
+                    "the two-phase step (device probe jit → host "
+                    "persistence/matching → train jit).")
         super().initialize()
 
     def _init_state(self, params, extra_variables):
@@ -290,7 +313,19 @@ class ContrastiveTrainer(MVDSegTrainer):
                                      mutable=["batch_stats"])
             return network.apply(variables, data, train=False), None
 
-        def train_step(state: MVDTrainState, key, epoch, data, seg):
+        def vessel_prob(logits):
+            # softmax + channel select in (b, c, voxels) layout: the
+            # (..., C) softmax lane-pads C=5 to 128 on TPU
+            b, c = logits.shape[0], logits.shape[-1]
+            lg = jnp.swapaxes(logits.reshape(b, -1, c), 1, 2)
+            logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=1)
+            return jnp.exp(logp[:, vessel]).reshape(logits.shape[:-1])
+
+        def pool_batch(x):
+            return jax.vmap(lambda a: _maybe_pool(a, self.topo_pool))(x)
+
+        def train_step(state: MVDTrainState, key, epoch, data, seg,
+                       topo_match):
             k_aug, k_drop, k_mem, k_con = jax.random.split(key, 4)
             data, seg = augment_batch(k_aug, data, seg, aug_cfg)
             seg = jnp.maximum(seg, 0)
@@ -302,24 +337,18 @@ class ContrastiveTrainer(MVDSegTrainer):
                     data.astype(jnp.bfloat16), True)
                 l = self.loss(out1, targets) + self.loss(out2, targets)
 
-                def vessel_prob(logits):
-                    # softmax + channel select in (b, c, voxels) layout: the
-                    # (..., C) softmax lane-pads C=5 to 128 on TPU
-                    b, c = logits.shape[0], logits.shape[-1]
-                    lg = jnp.swapaxes(logits.reshape(b, -1, c), 1, 2)
-                    logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=1)
-                    return jnp.exp(logp[:, vessel]).reshape(
-                        logits.shape[:-1])
-
                 p1v = vessel_prob(out1[0])
                 p2v = vessel_prob(out2[0])
                 mutual = kl_loss_compute1(p1v, p2v)
-                if self.enable_topo_loss:
+                if self.topo_mode == "callback":
                     tgt_vessel = (seg == vessel).astype(jnp.float32)
                     topo = topo_wasserstein(
-                        p1v, tgt_vessel,
-                        topo_dim=self.topo_feat_d, q=2.0, cap=self.topo_cap,
+                        p1v, tgt_vessel, topo_dim=self.topo_feat_d,
+                        q=self.topo_q, cap=self.topo_cap,
                         downsample=self.topo_pool)
+                elif self.topo_mode == "two_phase":
+                    topo = topo_loss_from_match(pool_batch(p1v), topo_match,
+                                                q=self.topo_q)
                 else:
                     topo = 0.0
                 l = l + lam3 * topo + lam1 * mutual
@@ -375,11 +404,31 @@ class ContrastiveTrainer(MVDSegTrainer):
                     "fp": jnp.sum(predc & ~tgtc, (1, 2)).astype(jnp.float32),
                     "fn": jnp.sum(~predc & tgtc, (1, 2)).astype(jnp.float32)}
 
+        def topo_probe(params, batch_stats, key, data, seg):
+            """Device jit #1 of the two-phase topological step: replicate
+            the train step's augmentation + dual forward (same rng split,
+            same dropout key — bitwise the forward that loss_fn will
+            differentiate) and emit the POOLED vessel probability and GT
+            maps for host persistence. Small outputs: (B, *patch/pool)."""
+            k_aug, k_drop, _, _ = jax.random.split(key, 4)
+            data, seg = augment_batch(k_aug, data, seg, aug_cfg)
+            seg = jnp.maximum(seg, 0)
+            (out1, *_), _ = forward(params, batch_stats, k_drop,
+                                    data.astype(jnp.bfloat16), True)
+            p1v = vessel_prob(out1[0])
+            tgt = (seg == vessel).astype(jnp.float32)
+            return pool_batch(p1v), pool_batch(tgt)
+
         self._train_step_fn = jax.jit(
             train_step,
-            in_shardings=(rep, rep, rep, batch_sharding, batch_sharding),
+            in_shardings=(rep, rep, rep, batch_sharding, batch_sharding,
+                          rep),
             out_shardings=(rep, rep),
             donate_argnums=(0,))
+        self._topo_probe_fn = jax.jit(
+            topo_probe,
+            in_shardings=(rep, rep, rep, batch_sharding, batch_sharding),
+            out_shardings=(rep, rep))
         self._val_step_fn = jax.jit(
             val_step, in_shardings=(rep, batch_sharding, batch_sharding),
             out_shardings=rep)
@@ -387,13 +436,32 @@ class ContrastiveTrainer(MVDSegTrainer):
 
     # ------------------------------------------------------------- overrides
 
+    def _topo_match_for_batch(self, key, data, seg):
+        """Host phase of the two-phase step (or a zero dummy otherwise)."""
+        batch = int(data.shape[0])
+        if self.topo_mode != "two_phase":
+            match = self._dummy_match_cache.get(batch)
+            if match is None:
+                match = dummy_topo_match(batch, self.topo_cap)
+                self._dummy_match_cache[batch] = match
+            return match
+        pooled_pred, pooled_tgt = self._topo_probe_fn(
+            self.state.params, self.state.batch_stats, key, data, seg)
+        return topo_match_host(np.asarray(pooled_pred),
+                               np.asarray(pooled_tgt),
+                               self.topo_feat_d, self.topo_q, self.topo_cap)
+
     def train_step(self, data, seg):
+        key = self._next_rng()
+        match = self._topo_match_for_batch(key, data, seg)
         self.state, metrics = self._train_step_fn(
-            self.state, self._next_rng(),
-            jnp.asarray(self.current_epoch, jnp.int32), data, seg)
+            self.state, key,
+            jnp.asarray(self.current_epoch, jnp.int32), data, seg, match)
         return metrics
 
     def save_checkpoint(self, filename: str):
+        if not self.is_main_process():
+            return
         state = jax.device_get(self.state)
         import pickle
         checkpoint = {

@@ -108,6 +108,7 @@ class MVDSegTrainer:
         self.num_val_iterations_per_epoch = 50
         self.num_epochs = 1000
         self.current_epoch = 0
+        self.save_every = 20  # checkpoint_latest cadence (reference :1053)
         # data-parallel width (None = all visible devices)
         self.n_data_parallel: Optional[int] = None
         self.enable_deep_supervision = True
@@ -132,8 +133,15 @@ class MVDSegTrainer:
 
     # ------------------------------------------------------------------ setup
 
+    @staticmethod
+    def is_main_process() -> bool:
+        """Multi-host rank-0 gate (reference gates on local_rank == 0)."""
+        return jax.process_index() == 0
+
     def print_to_log_file(self, *args, also_print_to_console: bool = True,
                           add_timestamp: bool = True):
+        if not self.is_main_process():
+            return
         if self.log_file is None:
             maybe_mkdir_p(self.output_folder)
             timestamp = datetime.now()
@@ -430,23 +438,32 @@ class MVDSegTrainer:
         n_data = self.mesh.shape["data"]
         if global_bs % n_data:
             global_bs = int(np.ceil(global_bs / n_data) * n_data)
+        # multi-host: each process samples only its slice of the global
+        # batch; PrefetchLoader assembles the global sharded array. Seeds
+        # are process-strided so hosts draw different cases (the reference's
+        # rank-dependent sampling, nnUNetTrainer.py:304-349)
+        n_proc = jax.process_count()
+        local_bs = global_bs // n_proc if n_proc > 1 else global_bs
+        assert local_bs * n_proc == global_bs or n_proc == 1, \
+            f"global batch {global_bs} not divisible by {n_proc} hosts"
+        seed_base = (self.fold if self.fold != 'all' else 0) + \
+            7919 * jax.process_index()
         cascade_labels = list(self.label_manager.foreground_labels) \
             if self.is_cascaded else None
         sampler_tr = PatchSampler(
-            ds_tr, global_bs, self._initial_patch_size, patch,
+            ds_tr, local_bs, self._initial_patch_size, patch,
             self.oversample_foreground_percent,
             probabilistic_oversampling=getattr(
                 self, "probabilistic_oversampling", False),
             cascade_foreground_labels=cascade_labels)
         sampler_val = PatchSampler(
-            ds_val, global_bs, patch, patch,
+            ds_val, local_bs, patch, patch,
             self.oversample_foreground_percent,
             cascade_foreground_labels=cascade_labels)
         self.dataloader_train = iter(PrefetchLoader(
-            sampler_tr, seed=self.fold if self.fold != 'all' else 0,
-            sharding=self._batch_sharding))
+            sampler_tr, seed=seed_base, sharding=self._batch_sharding))
         self.dataloader_val = iter(PrefetchLoader(
-            sampler_val, seed=1000 + (self.fold if self.fold != 'all' else 0),
+            sampler_val, seed=1000 + seed_base,
             sharding=self._batch_sharding))
 
     # ------------------------------------------------------------------ loop
@@ -530,7 +547,8 @@ class MVDSegTrainer:
             self.print_to_log_file(
                 f"Yayy! New best EMA pseudo Dice: {ema:.4f}")
             self.save_checkpoint(join(self.output_folder, "checkpoint_best.pkl"))
-        if (epoch + 1) % 50 == 0 or epoch == self.num_epochs - 1:
+        # every 20 epochs like the reference (nnUNetTrainer.py:1052-1066)
+        if (epoch + 1) % self.save_every == 0 or epoch == self.num_epochs - 1:
             self.save_checkpoint(join(self.output_folder, "checkpoint_latest.pkl"))
         try:
             self.logger.plot_progress_png(self.output_folder)
@@ -546,7 +564,10 @@ class MVDSegTrainer:
     # ---------------------------------------------------------- checkpointing
 
     def save_checkpoint(self, filename: str):
-        """Reference checkpoint dict (:1068-1091), minus GradScaler (no AMP)."""
+        """Reference checkpoint dict (:1068-1091), minus GradScaler (no AMP).
+        Rank-0 only on multi-host runs (reference :1052-1069)."""
+        if not self.is_main_process():
+            return
         state = jax.device_get(self.state)
         checkpoint = {
             "network_weights": flax.serialization.to_state_dict(state.params),

@@ -6,6 +6,8 @@ tests/integration_tests/add_lowres_and_cascade.py)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def cascade_dataset(synthetic_raw_dataset):

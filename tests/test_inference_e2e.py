@@ -6,6 +6,8 @@ surface."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def trained_model(synthetic_raw_dataset):

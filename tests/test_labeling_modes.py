@@ -5,6 +5,8 @@ for exactly this, reference tests/integration_tests/readme.md:7-10)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _make_dataset(tmp_path, monkeypatch, dataset_id, labels,
                   regions_class_order=None, n_cases=6, seed=0):

@@ -80,3 +80,72 @@ def test_nifti_4d_and_header_roundtrip(tmp_path):
     back, hdr = read_nifti(f)
     np.testing.assert_allclose(back, arr, rtol=1e-6)
     assert tuple(np.round(hdr["zooms"][:3], 5)) == (0.5, 1.0, 2.0)
+
+
+def _write_nifti2(fname, arr, spacing=(1.0, 1.0, 1.0), srow=None):
+    """Hand-rolled minimal NIfTI-2 writer (test fixture only — the package
+    writes NIfTI-1, reads both)."""
+    import gzip
+    import struct
+    hdr = bytearray(540)
+    struct.pack_into("<i", hdr, 0, 540)
+    hdr[4:8] = b"n+2\x00"
+    hdr[8:12] = b"\x0d\x0a\x1a\x0a"
+    struct.pack_into("<2h", hdr, 12, 16, 32)  # float32
+    struct.pack_into("<8q", hdr, 16, arr.ndim, *arr.shape,
+                     *([1] * (7 - arr.ndim)))
+    struct.pack_into("<8d", hdr, 104, 1.0, *spacing,
+                     *([1.0] * (7 - len(spacing))))
+    struct.pack_into("<q", hdr, 168, 544)
+    struct.pack_into("<2d", hdr, 176, 1.0, 0.0)
+    struct.pack_into("<i", hdr, 348, 1)  # sform_code
+    if srow is None:
+        srow = np.zeros((3, 4))
+        srow[:3, :3] = np.diag(spacing)
+    struct.pack_into("<12d", hdr, 400, *np.asarray(srow).ravel())
+    opener = gzip.open if fname.endswith(".gz") else open
+    with opener(fname, "wb") as f:
+        f.write(bytes(hdr) + b"\x00" * 4)
+        f.write(np.asfortranarray(arr.astype(np.float32)).tobytes(order="F"))
+
+
+def test_nifti2_read_support(tmp_path):
+    from multimodal_mvd_seg_tpu.imageio.nifti import NiftiIO, read_nifti
+    arr = np.random.RandomState(1).rand(4, 5, 6).astype(np.float32)
+    f = str(tmp_path / "v2.nii.gz")
+    _write_nifti2(f, arr, spacing=(0.7, 1.1, 2.3))
+    back, hdr = read_nifti(f)
+    np.testing.assert_allclose(back, arr, rtol=1e-6)
+    assert tuple(np.round(hdr["zooms"][:3], 5)) == (0.7, 1.1, 2.3)
+    data, props = NiftiIO().read_images([f])
+    assert data.shape == (1, 6, 5, 4)
+    assert tuple(np.round(props["spacing"], 5)) == (2.3, 1.1, 0.7)
+
+
+def test_nifti_affine_mismatch_rejected(tmp_path):
+    import pytest
+    from multimodal_mvd_seg_tpu.imageio.nifti import NiftiIO
+    arr = np.random.RandomState(2).rand(4, 5, 6).astype(np.float32)
+    a, b = str(tmp_path / "a.nii.gz"), str(tmp_path / "b.nii.gz")
+    srow_a = np.zeros((3, 4)); srow_a[:3, :3] = np.eye(3)
+    srow_b = np.zeros((3, 4))
+    srow_b[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]])  # rotated
+    _write_nifti2(a, arr, srow=srow_a)
+    _write_nifti2(b, arr, srow=srow_b)
+    with pytest.raises(RuntimeError, match="affine"):
+        NiftiIO().read_images([a, b])
+    # same affine passes
+    _write_nifti2(b, arr, srow=srow_a)
+    data, _ = NiftiIO().read_images([a, b])
+    assert data.shape == (2, 6, 5, 4)
+
+
+def test_nifti_4d_time_as_channels(tmp_path):
+    from multimodal_mvd_seg_tpu.imageio.nifti import NiftiIO, write_nifti
+    arr = np.random.RandomState(3).rand(4, 5, 6, 3).astype(np.float32)
+    f = str(tmp_path / "t.nii.gz")
+    write_nifti(f, arr, spacing=(0.5, 1.0, 2.0))
+    data, props = NiftiIO().read_images([f])
+    assert data.shape == (3, 6, 5, 4)  # (t→c, k, j, i)
+    np.testing.assert_allclose(data[1], arr[..., 1].T, rtol=1e-6)
+    assert tuple(np.round(props["spacing"], 5)) == (2.0, 1.0, 0.5)

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 PATCH = (8, 16, 16)
 FEATS = (8, 16, 32)
 KERNELS = [[3, 3, 3]] * 3

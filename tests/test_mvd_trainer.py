@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 PATCH = (16, 32, 32)
 
 
@@ -93,6 +95,59 @@ def test_mvd_train_step_curriculum(mvd_trainer):
     m2 = jax.device_get(trainer.train_step(data, seg))
     assert np.isfinite(m2["contrastive"])
     assert int(jax.device_get(trainer.state.step)) == 3
+
+
+def test_two_phase_step_matches_callback_step(mvd_trainer):
+    """The full two-phase ContrastiveTrainer step (probe jit → host
+    persistence/matching → train jit) must update params identically to
+    the single-jit callback step — VERDICT.md round-1 item 1."""
+    trainer = mvd_trainer
+    assert trainer.topo_mode == "callback"  # CPU supports callbacks
+    # GT = a small spherical shell of the vessel class: one clean dim-2
+    # cavity that survives the augmentation crop (a dense random seg floods
+    # the capped diagram with dim-0/1 bars and yields topo == 0)
+    rng_np = np.random.RandomState(7)
+    bs = max(trainer.configuration_manager.batch_size,
+             trainer.mesh.shape["data"])
+    init_patch = tuple(trainer._initial_patch_size)
+    grids = np.mgrid[[slice(0, s) for s in init_patch]]
+    r = np.sqrt(sum((g - s / 2.0) ** 2
+                    for g, s in zip(grids, init_patch)))
+    shell = (((r > 2.5) & (r < 5.0)) * 2).astype(np.int32)
+    seg = jax.device_put(
+        np.broadcast_to(shell, (bs, *init_patch)).copy(),
+        trainer._batch_sharding)
+    data = jax.device_put(
+        (rng_np.normal(size=(bs, *init_patch, 2)) +
+         shell[..., None]).astype(np.float32),
+        trainer._batch_sharding)
+    trainer.current_epoch = 0
+
+    start_state = jax.device_get(trainer.state)
+    start_rng = trainer._rng
+
+    m_cb = jax.device_get(trainer.train_step(data, seg))
+    params_cb = jax.device_get(trainer.state.params)
+
+    # rewind and rerun the same step through the two-phase path
+    rep = jax.sharding.NamedSharding(trainer.mesh,
+                                     jax.sharding.PartitionSpec())
+    trainer.state = jax.device_put(start_state, rep)
+    trainer._rng = start_rng
+    trainer.topo_mode = "two_phase"
+    try:
+        trainer._compile_steps()
+        m_tp = jax.device_get(trainer.train_step(data, seg))
+        params_tp = jax.device_get(trainer.state.params)
+    finally:
+        trainer.topo_mode = "callback"
+        trainer._compile_steps()
+
+    assert m_cb["topo"] > 0  # the term is actually exercised
+    assert m_tp["topo"] == pytest.approx(m_cb["topo"], rel=1e-4)
+    assert m_tp["loss"] == pytest.approx(m_cb["loss"], rel=1e-4)
+    for a, b in zip(jax.tree.leaves(params_cb), jax.tree.leaves(params_tp)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
 
 
 def test_mvd_checkpoint_roundtrip(mvd_trainer, tmp_path):
