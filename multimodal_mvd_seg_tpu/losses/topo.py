@@ -86,7 +86,7 @@ def topo_match_host(pred: "np.ndarray", target: "np.ndarray",
 
     def finite_bars(img):
         dims, bi, di = _host_cubical(np.asarray(img, np.float32), maxdim,
-                                     cap, False)
+                                     cap, False, only_dim=topo_dim)
         keep = (dims >= 0) & (di >= 0)
         if topo_dim is not None:
             keep &= dims == topo_dim
@@ -95,7 +95,7 @@ def topo_match_host(pred: "np.ndarray", target: "np.ndarray",
                         flat[np.clip(di, 0, None)]], -1).astype(np.float32)
         return dgm, keep, bi, di
 
-    for s in range(B):
+    def one(s):
         d1, m1, bi, di = finite_bars(pred[s])
         d2, m2, _, _ = finite_bars(target[s])
         match1, match2 = _host_match(d1, m1, d2, m2, q)
@@ -108,6 +108,15 @@ def topo_match_host(pred: "np.ndarray", target: "np.ndarray",
         unmatched2 = match2 == -1
         const[s] = ((np.abs(d2[:, 1] - d2[:, 0]) / 2.0) ** q)[
             unmatched2].sum()
+
+    # the C++ reduction (ctypes) and scipy's LAP release the GIL — batch
+    # elements run concurrently (the reference serializes its python loop)
+    if B > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(B, 8)) as pool:
+            list(pool.map(one, range(B)))
+    else:
+        one(0)
     return {"b_idx": b_idx, "d_idx": d_idx, "partner": partner,
             "diag": diag, "valid": valid, "const": const}
 
@@ -164,8 +173,12 @@ def topo_wasserstein(pred: jnp.ndarray, target: jnp.ndarray,
     def one(p, t):
         p = _maybe_pool(p, downsample)
         t = _maybe_pool(t, downsample)
-        dp = cubical_persistence_pairs(p, maxdim=maxdim, cap=cap)
-        dt = cubical_persistence_pairs(t, maxdim=maxdim, cap=cap)
+        # only_dim keeps the cap for the compared dimension's strongest
+        # bars (dim-0/1 bars otherwise starve a small cap on real maps)
+        dp = cubical_persistence_pairs(p, maxdim=maxdim, cap=cap,
+                                       only_dim=topo_dim)
+        dt = cubical_persistence_pairs(t, maxdim=maxdim, cap=cap,
+                                       only_dim=topo_dim)
 
         def sel(d):
             m = d["finite"]

@@ -177,6 +177,30 @@ class ContrastiveNet(nn.Module):
             return logits, logits_, cl(fea), cl(fea_)
         return cl(self.out1(out))
 
+    def forward_vessel1(self, data, *, train: bool = True):
+        """Branch-1 full-resolution logits only — the two-phase topological
+        probe's forward. Runs the shared encoder + stem + branch-1 decoder
+        chain exactly as ``__call__`` does (flax derives each Dropout's rng
+        from its module path, so the branch-1 activations are BITWISE the
+        ones the train step's dual forward produces with the same rng) while
+        skipping branch 2 and the deep-supervision heads — roughly half the
+        probe's decoder cost."""
+        xc = jnp.moveaxis(data, -1, 1)
+        sf = None if self.s2d_factors is None else tuple(self.s2d_factors)
+        bottleneck, hidden = self.share_encoder(xc, train=train)
+        half = bottleneck.shape[1] // 2
+        fea1 = bottleneck[:, :half]
+        stem_in = xc[:, 0:1]
+        if sf is not None:
+            stem_in = _s2d.space_to_depth(stem_in, sf)
+        stem = self.encoder1(stem_in, train=train)
+        enc1, enc2, enc3 = hidden[0], hidden[1], hidden[2]
+        dec3 = self.decoder5(fea1, enc3, train=train)
+        dec2 = self.decoder4(dec3, enc2, train=train)
+        dec1 = self.decoder3(dec2, enc1, train=train)
+        out = self.decoder2(dec1, stem, train=train)
+        return jnp.moveaxis(self.out1(out), 1, -1)
+
     def init_all(self, data, *, train: bool = False):
         """Initialization entry point: traces the dual forward AND every
         auxiliary head so ``init(..., method="init_all")`` creates all

@@ -22,10 +22,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _host_cubical(img: np.ndarray, maxdim: int, cap: int, keep_zero: bool
+def _host_cubical(img: np.ndarray, maxdim: int, cap: int, keep_zero: bool,
+                  only_dim: int = None
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host side: returns (dims (cap,), birth_idx (cap,), death_idx (cap,)).
-    death_idx == -1 ⇒ essential bar; dims == -1 ⇒ padding."""
+    death_idx == -1 ⇒ essential bar; dims == -1 ⇒ padding.
+
+    The C++ core emits bars in birth-filtration order and truncates at its
+    cap — on realistic maps the thousands of early dim-0/1 bars would crowd
+    every dim-2 bar out of a small cap. ``only_dim`` therefore runs the
+    reduction with a generous internal cap, keeps only that dimension's
+    bars, and truncates to the ``cap`` HIGHEST-PERSISTENCE bars (the ones
+    that matter for any distance/feature downstream)."""
     from .native.build import load_library
     import ctypes
     lib = load_library()
@@ -33,25 +41,43 @@ def _host_cubical(img: np.ndarray, maxdim: int, cap: int, keep_zero: bool
     shape = img.shape
     while len(shape) < 3:
         shape = shape + (1,)
-    out_dim = np.full(cap, -1, np.int32)
-    out_b = np.zeros(cap, np.int64)
-    out_d = np.full(cap, -1, np.int64)
+    internal_cap = cap if only_dim is None else max(cap, 1 << 18)
+    out_dim = np.full(internal_cap, -1, np.int32)
+    out_b = np.zeros(internal_cap, np.int64)
+    out_d = np.full(internal_cap, -1, np.int64)
     n = lib.cubical_persistence(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        shape[0], shape[1], shape[2], maxdim, int(keep_zero), cap,
+        shape[0], shape[1], shape[2], maxdim, int(keep_zero), internal_cap,
         out_dim.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         out_b.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         out_d.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
     out_dim[n:] = -1
+    if only_dim is not None:
+        keep = out_dim == only_dim
+        dims, b, d = out_dim[keep], out_b[keep], out_d[keep]
+        flat = img.reshape(-1)
+        death = np.where(d >= 0, flat[np.clip(d, 0, None)], flat.max())
+        pers = np.abs(death - flat[np.clip(b, 0, None)])
+        order = np.argsort(-pers, kind="stable")[:cap]
+        dims, b, d = dims[order], b[order], d[order]
+        out_dim = np.full(cap, -1, np.int32)
+        out_b = np.zeros(cap, np.int64)
+        out_d = np.full(cap, -1, np.int64)
+        out_dim[:len(dims)] = dims
+        out_b[:len(dims)] = b
+        out_d[:len(dims)] = d
+    else:
+        out_dim, out_b, out_d = out_dim[:cap], out_b[:cap], out_d[:cap]
     # int32 for the JAX callback (x64 is disabled); volumes stay < 2^31 voxels
     return out_dim, out_b.astype(np.int32), out_d.astype(np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("maxdim", "cap", "keep_zero",
-                                             "superlevel"))
+                                             "superlevel", "only_dim"))
 def cubical_persistence_pairs(image: jnp.ndarray, maxdim: int = None,
                               cap: int = 2048, keep_zero: bool = False,
-                              superlevel: bool = False):
+                              superlevel: bool = False,
+                              only_dim: int = None):
     """Sublevel (or superlevel) cubical persistence of a 1D/2D/3D image.
 
     Returns a dict of fixed-shape arrays:
@@ -61,6 +87,10 @@ def cubical_persistence_pairs(image: jnp.ndarray, maxdim: int = None,
                             (sublevel) so death-birth = total range
       finite (cap,) bool    True for finite (non-essential) bars
       valid  (cap,) bool    True for real (non-padding) bars
+
+    only_dim: restrict the output to one homology dimension, capped to the
+    highest-persistence bars (see _host_cubical) — without it, a small cap
+    is consumed by early-filtration dim-0/1 bars on realistic maps.
     """
     if maxdim is None:
         maxdim = max(image.ndim - 1, 0)
@@ -68,7 +98,8 @@ def cubical_persistence_pairs(image: jnp.ndarray, maxdim: int = None,
     x32 = x.astype(jnp.float32)
 
     def cb(a):
-        return _host_cubical(np.asarray(a), maxdim, cap, keep_zero)
+        return _host_cubical(np.asarray(a), maxdim, cap, keep_zero,
+                             only_dim)
 
     dims, b_idx, d_idx = jax.pure_callback(
         cb,

@@ -37,26 +37,36 @@ def _host_match(d1: np.ndarray, m1: np.ndarray, d2: np.ndarray,
     match2 = np.full(d2.shape[0], -2, np.int32)
     match1[i1] = -1
     match2[i2] = -1
-    if n1 + n2:
+    if n1 and n2:
         p1 = d1[i1].astype(np.float64)
         p2 = d2[i2].astype(np.float64)
-        big = np.zeros((n1 + n2, n2 + n1))
-        if n1 and n2:
-            # L∞ ground metric, standard for diagram distances
-            big[:n1, :n2] = np.abs(p1[:, None, :] - p2[None, :, :]
-                                   ).max(-1) ** q
+        # L∞ ground metric, standard for diagram distances
+        C = np.abs(p1[:, None, :] - p2[None, :, :]).max(-1) ** q
         diag1 = (np.abs(p1[:, 1] - p1[:, 0]) / 2.0) ** q
         diag2 = (np.abs(p2[:, 1] - p2[:, 0]) / 2.0) ** q
-        INF = 1e18
-        big[:n1, n2:] = INF
-        big[:n1, n2:][np.arange(n1), np.arange(n1)] = diag1
-        big[n1:, :n2] = INF
-        big[n1:, :n2][np.arange(n2), np.arange(n2)] = diag2
-        rows, cols = linear_sum_assignment(big)
-        for r, c in zip(rows, cols):
-            if r < n1 and c < n2:
-                match1[i1[r]] = i2[c]
-                match2[i2[c]] = i1[r]
+        # EXACT pruning: if cost(i,j) >= diag_i + diag_j for every j, the
+        # exchange argument gives an optimal matching with i on the
+        # diagonal (replacing a pairing (i,j) by two diagonal hits never
+        # increases the total). Typical diagrams are mostly tiny noise
+        # bars, so the LAP collapses to the few structurally useful points.
+        useful = C < diag1[:, None] + diag2[None, :]
+        k1 = np.flatnonzero(useful.any(1))
+        k2 = np.flatnonzero(useful.any(0))
+        m1_, m2_ = len(k1), len(k2)
+        if m1_ and m2_:
+            big = np.zeros((m1_ + m2_, m2_ + m1_))
+            big[:m1_, :m2_] = C[np.ix_(k1, k2)]
+            # diagonal slots are indistinguishable, so every slot may carry
+            # any point at that point's own diagonal cost — same optimum as
+            # the textbook one-slot-per-point + INF construction, and much
+            # faster for scipy's LAP (huge sentinels poison its pricing)
+            big[:m1_, m2_:] = diag1[k1][:, None]
+            big[m1_:, :m2_] = diag2[k2][None, :]
+            rows, cols = linear_sum_assignment(big)
+            for r, c in zip(rows, cols):
+                if r < m1_ and c < m2_:
+                    match1[i1[k1[r]]] = i2[k2[c]]
+                    match2[i2[k2[c]]] = i1[k1[r]]
     return match1, match2
 
 

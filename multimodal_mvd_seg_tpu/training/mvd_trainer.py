@@ -327,7 +327,12 @@ class ContrastiveTrainer(MVDSegTrainer):
         def train_step(state: MVDTrainState, key, epoch, data, seg,
                        topo_match):
             k_aug, k_drop, k_mem, k_con = jax.random.split(key, 4)
-            data, seg = augment_batch(k_aug, data, seg, aug_cfg)
+            if self.topo_mode != "two_phase":
+                data, seg = augment_batch(k_aug, data, seg, aug_cfg)
+            # two_phase: the probe jit already augmented this batch (same
+            # k_aug) and handed the augmented arrays back — they arrive
+            # here as device-resident inputs, so augmentation runs ONCE
+            # per step instead of twice (measured 591 ms at flagship scale)
             seg = jnp.maximum(seg, 0)
             targets = downsample_seg_for_ds(seg, self._ds_scales())
 
@@ -405,19 +410,24 @@ class ContrastiveTrainer(MVDSegTrainer):
                     "fn": jnp.sum(~predc & tgtc, (1, 2)).astype(jnp.float32)}
 
         def topo_probe(params, batch_stats, key, data, seg):
-            """Device jit #1 of the two-phase topological step: replicate
-            the train step's augmentation + dual forward (same rng split,
-            same dropout key — bitwise the forward that loss_fn will
-            differentiate) and emit the POOLED vessel probability and GT
-            maps for host persistence. Small outputs: (B, *patch/pool)."""
+            """Device jit #1 of the two-phase topological step: run the
+            step's augmentation (same rng split) + a branch-1-only forward
+            (bitwise the logits loss_fn will differentiate — path-derived
+            dropout rngs) and emit the POOLED vessel probability and GT
+            maps for host persistence, PLUS the augmented batch so the
+            train jit does not augment a second time. The augmented arrays
+            never leave the device; only the small pooled maps do."""
             k_aug, k_drop, _, _ = jax.random.split(key, 4)
             data, seg = augment_batch(k_aug, data, seg, aug_cfg)
-            seg = jnp.maximum(seg, 0)
-            (out1, *_), _ = forward(params, batch_stats, k_drop,
-                                    data.astype(jnp.bfloat16), True)
-            p1v = vessel_prob(out1[0])
-            tgt = (seg == vessel).astype(jnp.float32)
-            return pool_batch(p1v), pool_batch(tgt)
+            seg_nn = jnp.maximum(seg, 0)
+            logits1, _ = network.apply(
+                {"params": params, "batch_stats": batch_stats},
+                data.astype(jnp.bfloat16), train=True,
+                rngs={"dropout": k_drop}, mutable=["batch_stats"],
+                method="forward_vessel1")
+            p1v = vessel_prob(logits1)
+            tgt = (seg_nn == vessel).astype(jnp.float32)
+            return pool_batch(p1v), pool_batch(tgt), data, seg
 
         self._train_step_fn = jax.jit(
             train_step,
@@ -428,7 +438,7 @@ class ContrastiveTrainer(MVDSegTrainer):
         self._topo_probe_fn = jax.jit(
             topo_probe,
             in_shardings=(rep, rep, rep, batch_sharding, batch_sharding),
-            out_shardings=(rep, rep))
+            out_shardings=(rep, rep, batch_sharding, batch_sharding))
         self._val_step_fn = jax.jit(
             val_step, in_shardings=(rep, batch_sharding, batch_sharding),
             out_shardings=rep)
@@ -437,23 +447,27 @@ class ContrastiveTrainer(MVDSegTrainer):
     # ------------------------------------------------------------- overrides
 
     def _topo_match_for_batch(self, key, data, seg):
-        """Host phase of the two-phase step (or a zero dummy otherwise)."""
+        """Host phase of the two-phase step (or a zero dummy otherwise).
+        Returns (match, data, seg) — in two-phase mode data/seg come back
+        ALREADY AUGMENTED (device-resident outputs of the probe jit), so
+        the train jit skips its augmentation."""
         batch = int(data.shape[0])
         if self.topo_mode != "two_phase":
             match = self._dummy_match_cache.get(batch)
             if match is None:
                 match = dummy_topo_match(batch, self.topo_cap)
                 self._dummy_match_cache[batch] = match
-            return match
-        pooled_pred, pooled_tgt = self._topo_probe_fn(
+            return match, data, seg
+        pooled_pred, pooled_tgt, aug_data, aug_seg = self._topo_probe_fn(
             self.state.params, self.state.batch_stats, key, data, seg)
-        return topo_match_host(np.asarray(pooled_pred),
-                               np.asarray(pooled_tgt),
-                               self.topo_feat_d, self.topo_q, self.topo_cap)
+        match = topo_match_host(np.asarray(pooled_pred),
+                                np.asarray(pooled_tgt),
+                                self.topo_feat_d, self.topo_q, self.topo_cap)
+        return match, aug_data, aug_seg
 
     def train_step(self, data, seg):
         key = self._next_rng()
-        match = self._topo_match_for_batch(key, data, seg)
+        match, data, seg = self._topo_match_for_batch(key, data, seg)
         self.state, metrics = self._train_step_fn(
             self.state, key,
             jnp.asarray(self.current_epoch, jnp.int32), data, seg, match)

@@ -166,3 +166,29 @@ def test_dual_factory():
     net = get_dual_network_from_plans(pm, dataset_json, cfg, 2,
                                       deep_supervision=True)
     assert net.num_classes == 3 and net.feature_size == 16
+
+
+def test_probe_forward_matches_dual_forward_bitwise():
+    """forward_vessel1 (the two-phase topo probe's slim forward) must be
+    BITWISE the branch-1 logits of the full dual forward under the same
+    dropout rng — flax derives dropout keys from module paths, so skipping
+    branch 2 must not change branch 1."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_mvd_seg_tpu.models.contrastive_net import ContrastiveNet
+    net = ContrastiveNet(input_channels=2, num_classes=3, feature_size=16,
+                         depths=(1, 1, 1, 1), do_ds=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 32, 32, 2),
+                    jnp.bfloat16)
+    v = jax.jit(lambda r, t: net.init(r, t, train=False,
+                                      method="init_all"))(
+        jax.random.PRNGKey(0), x)
+    k = jax.random.PRNGKey(7)
+    full, _ = jax.jit(lambda v_, x_: net.apply(
+        v_, x_, train=True, rngs={"dropout": k},
+        mutable=["batch_stats"]))(v, x)
+    probe, _ = jax.jit(lambda v_, x_: net.apply(
+        v_, x_, train=True, rngs={"dropout": k}, mutable=["batch_stats"],
+        method="forward_vessel1"))(v, x)
+    np.testing.assert_array_equal(np.asarray(full[0][0], np.float32),
+                                  np.asarray(probe, np.float32))

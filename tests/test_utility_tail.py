@@ -1,0 +1,135 @@
+"""Utility-tail coverage: NRRD codec, case wrangling, format converters
+(the reference's nnunetv2/utilities one-off scripts, VERDICT.md missing
+item 6)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+
+def _write_nrrd(fname, arr, spacing=(1.0, 2.0, 3.0), encoding="gzip"):
+    dirs = " ".join(f"({s},0,0) (0,{s},0) (0,0,{s})".split()[i]
+                    for i, s in enumerate(spacing))
+    header = (
+        "NRRD0004\n"
+        "type: short\n"
+        "dimension: 3\n"
+        f"sizes: {arr.shape[0]} {arr.shape[1]} {arr.shape[2]}\n"
+        f"space directions: ({spacing[0]},0,0) (0,{spacing[1]},0) "
+        f"(0,0,{spacing[2]})\n"
+        "endian: little\n"
+        f"encoding: {encoding}\n"
+        "space origin: (0,0,0)\n"
+        "\n")
+    payload = np.asfortranarray(arr.astype("<i2")).tobytes(order="F")
+    if encoding == "gzip":
+        payload = gzip.compress(payload)
+    with open(fname, "wb") as f:
+        f.write(header.encode("ascii") + payload)
+
+
+def test_nrrd_roundtrip_and_convert(tmp_path):
+    from multimodal_mvd_seg_tpu.imageio.nrrd import read_nrrd
+    from multimodal_mvd_seg_tpu.imageio.nifti import read_nifti
+    from multimodal_mvd_seg_tpu.utils.format_converters import (
+        check_nrrd_labels, nrrd_to_nii)
+    arr = np.random.RandomState(0).randint(0, 4, (4, 5, 6)).astype(np.int16)
+    f = str(tmp_path / "x.nrrd")
+    _write_nrrd(f, arr)
+    data, hdr = read_nrrd(f)
+    np.testing.assert_array_equal(data, arr)
+    assert hdr["spacing"] == [1.0, 2.0, 3.0]
+
+    out = str(tmp_path / "x.nii.gz")
+    nrrd_to_nii(f, out)
+    back, nhdr = read_nifti(out)
+    np.testing.assert_array_equal(back.astype(np.int16), arr)
+    assert tuple(np.round(nhdr["zooms"][:3], 4)) == (1.0, 2.0, 3.0)
+
+    report = check_nrrd_labels(str(tmp_path), expected=[0, 1, 2, 3])
+    assert report == {"x.nrrd": [0, 1, 2, 3]}
+    report_bad = check_nrrd_labels(str(tmp_path), expected=[0, 1])
+    assert list(report_bad) == ["x.nrrd !"]
+
+
+def test_case_wrangling(tmp_path):
+    from multimodal_mvd_seg_tpu.utils.case_tools import (
+        random_select_test_cases, remove_cases, rename_to_convention,
+        select_cases_with_annotation, select_single_modality)
+
+    raw = tmp_path / "hospital"
+    raw.mkdir()
+    for pat in ("alice", "bob", "carol"):
+        for mod in ("T2", "TOF"):
+            (raw / f"{pat}_{mod}.nii.gz").write_text(mod)
+    mapping = rename_to_convention(
+        str(raw), str(tmp_path / "imagesTr"), {"T2": 0, "TOF": 1})
+    assert sorted(mapping) == [
+        "case_0000_0000.nii.gz", "case_0000_0001.nii.gz",
+        "case_0001_0000.nii.gz", "case_0001_0001.nii.gz",
+        "case_0002_0000.nii.gz", "case_0002_0001.nii.gz"]
+    assert (tmp_path / "imagesTr" / "case_0000_0000.nii.gz").read_text() \
+        == "T2"
+
+    labels = tmp_path / "labelsTr"
+    labels.mkdir()
+    for i in range(2):  # only 2 of 3 cases annotated
+        (labels / f"case_{i:04d}.nii.gz").write_text("seg")
+    have, missing = select_cases_with_annotation(
+        str(tmp_path / "imagesTr"), str(labels))
+    assert have == ["case_0000", "case_0001"]
+    assert missing == ["case_0002"]
+
+    single = select_single_modality(str(tmp_path / "imagesTr"),
+                                    str(tmp_path / "t2only"), channel=0)
+    assert len(single) == 3
+    assert (tmp_path / "t2only" / "case_0001_0000.nii.gz").read_text() == "T2"
+
+    chosen = random_select_test_cases(
+        str(tmp_path / "imagesTr"), str(labels), str(tmp_path / "imagesTs"),
+        n_test=1, seed=3)
+    assert len(chosen) == 1
+    moved = os.listdir(tmp_path / "imagesTs")
+    assert len(moved) == 2  # both channels moved
+    assert not os.path.isfile(labels / (chosen[0] + ".nii.gz"))
+
+    n = remove_cases(str(tmp_path / "t2only"), ["case_0002"])
+    assert n == 1
+    assert not os.path.isfile(tmp_path / "t2only" / "case_0002_0000.nii.gz")
+
+
+def test_vtk_and_dcm_converters_with_injected_readers(tmp_path):
+    from multimodal_mvd_seg_tpu.imageio.nifti import read_nifti, write_nifti
+    from multimodal_mvd_seg_tpu.utils.format_converters import (
+        dcm_series_to_nii, vtk_mesh_to_labelmap)
+
+    ref = str(tmp_path / "ref.nii.gz")
+    write_nifti(ref, np.zeros((10, 10, 10), np.float32),
+                spacing=(1.0, 1.0, 1.0))
+
+    def mesh_reader(path):
+        pts = np.array([[2.0, 2.0, 2.0], [5.0, 5.0, 5.0], [7.0, 3.0, 2.0]])
+        return pts, np.array([[0, 1, 2]])
+
+    out = str(tmp_path / "mask.nii.gz")
+    n = vtk_mesh_to_labelmap("fake.vtk", out, ref, reader=mesh_reader)
+    assert n == 3
+    mask, _ = read_nifti(out)
+    assert mask[2, 2, 2] == 1 and mask[5, 5, 5] == 1
+
+    def dcm_reader(folder):
+        return np.arange(2 * 3 * 4).reshape(2, 3, 4).astype(np.int16), \
+            (2.5, 0.5, 0.5)
+
+    out2 = str(tmp_path / "vol.nii.gz")
+    shape = dcm_series_to_nii("fake_folder", out2, reader=dcm_reader)
+    assert tuple(shape) == (2, 3, 4)
+    vol, hdr = read_nifti(out2)
+    assert vol.shape == (4, 3, 2)  # (x,y,z) storage of the (z,y,x) volume
+    assert tuple(np.round(hdr["zooms"][:3], 3)) == (0.5, 0.5, 2.5)
+
+    # missing optional libraries raise actionable errors
+    with pytest.raises(ImportError, match="vtk"):
+        vtk_mesh_to_labelmap("f.vtk", out, ref)
