@@ -168,8 +168,11 @@ def run(epochs: int = 50, cases: int = 24, out_dir: str = "/tmp/parity",
                                for k, v in summary["mean"].items()},
             "summary_json": os.path.join(val_folder, "summary.json"),
         }
-        entry["topology"] = vessel_topology_metrics(
-            val_folder, os.path.join(ds, "labelsTr"))
+        try:
+            entry["topology"] = vessel_topology_metrics(
+                val_folder, os.path.join(ds, "labelsTr"))
+        except Exception as e:  # never lose a finished training run
+            entry["topology"] = {"error": repr(e)}
         results[tag] = entry
         with open(os.path.join(out_dir, "RESULTS.json"), "w") as f:
             json.dump(results, f, indent=2)

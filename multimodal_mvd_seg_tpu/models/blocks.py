@@ -264,7 +264,14 @@ def _cell_spec(kernel, strides, rep_in, rep_out, in_lens):
 
 class CellConv(nn.Module):
     """Logical conv (params shaped like ConvCF's) executed in the s2d cell
-    domain described by (rep_in, rep_out)."""
+    domain described by (rep_in, rep_out).
+
+    ``x`` may be a TUPLE of channel-partition tensors (e.g. the decoder's
+    upsampled features and the skip): the conv then runs once per part with
+    the weight split along Ci and the results summed — numerically the conv
+    of their concatenation (up to float summation order) WITHOUT ever
+    materializing the concatenated tensor, which at the full-res stages
+    costs a >0.5 GB HBM round trip per step."""
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int]
@@ -275,8 +282,10 @@ class CellConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        parts = x if isinstance(x, (tuple, list)) else (x,)
         f_in = _s2d.rep_F(self.rep_in)
-        cin = x.shape[1] // f_in
+        cins = [p.shape[1] // f_in for p in parts]
+        cin = sum(cins)
         kshape = (self.features, cin, *self.kernel_size)
         w = self.param("kernel", nn.initializers.variance_scaling(
             2.0, "fan_in", "truncated_normal"), kshape, jnp.float32)
@@ -284,9 +293,19 @@ class CellConv(nn.Module):
                        jnp.float32) if self.use_bias else None
         spec = _cell_spec(tuple(map(int, self.kernel_size)),
                           tuple(map(int, self.strides)),
-                          self.rep_in, self.rep_out, tuple(x.shape[2:]))
-        return spec(x.astype(self.dtype), w.astype(self.dtype),
-                    None if b is None else b.astype(self.dtype))
+                          self.rep_in, self.rep_out,
+                          tuple(parts[0].shape[2:]))
+        out = None
+        off = 0
+        for p, ci in zip(parts, cins):
+            wp = jax.lax.slice_in_dim(w, off, off + ci, axis=1)
+            off += ci
+            y = spec(p.astype(self.dtype), wp.astype(self.dtype), None)
+            out = y if out is None else out + y
+        if b is not None:
+            bc = jnp.repeat(b, spec.F_out).astype(out.dtype)
+            out = out + bc.reshape(1, -1, *([1] * len(self.kernel_size)))
+        return out
 
 
 class ConvNormActS2D(nn.Module):

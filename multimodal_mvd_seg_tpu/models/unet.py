@@ -219,6 +219,9 @@ class PlainConvUNetCF(nn.Module):
     # Stages that fail the cell-conv constraints are demoted automatically.
     s2d_stages: int = 0
     s2d_factors: Tuple[int, ...] = (1, 2, 2)
+    # logits dtype; bf16 matches the reference's AMP training (losses
+    # upcast to f32 before softmax/Dice)
+    seg_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -266,31 +269,40 @@ class PlainConvUNetCF(nn.Module):
             else:
                 x = ConvTransposeCF(f, stride, stride, dtype=self.dtype,
                                     name=f"up{d}")(x)
-            x = jnp.concatenate([x, skips[skip_stage].astype(x.dtype)],
-                                axis=1)
             use_s2d = factored(skip_stage)
             base = StackedConvBlocksS2D if use_s2d else StackedConvBlocksCF
             cls = nn.remat(base) if skip_stage < self.remat_stages else base
             kwargs = dict(dtype=self.dtype, name=f"dec{d}")
             if use_s2d:
+                # concat-free skip fusion: the first conv runs split-weight
+                # over (upsampled, skip) — saves materializing the >0.5 GB
+                # concatenated tensor at the full-res stages (CellConv)
                 x = cls(self.n_conv_per_stage_decoder[d], f,
                         self.kernel_sizes[skip_stage], (1,) * dim,
-                        tuple(dst_f), tuple(dst_f), **kwargs)(x, train=train)
+                        tuple(dst_f), tuple(dst_f), **kwargs)(
+                    (x, skips[skip_stage].astype(x.dtype)), train=train)
             else:
+                x = jnp.concatenate([x, skips[skip_stage].astype(x.dtype)],
+                                    axis=1)
                 x = cls(self.n_conv_per_stage_decoder[d], f,
                         self.kernel_sizes[skip_stage], (1,) * dim,
                         **kwargs)(x, train=train)
             if self.deep_supervision or d == n_stages - 2:
+                # seg heads in seg_dtype (default bf16 — the reference
+                # trains under AMP so its logits are half precision too;
+                # the losses upcast to f32 before softmax). At the full-res
+                # stage an f32 logits tensor costs 2x the HBM of the whole
+                # bf16 feature map.
+                sd = self.seg_dtype
                 if use_s2d:
                     rep = _s2d.rep_of(dst_f)
                     seg = CellConv(self.num_classes, (1,) * dim, (1,) * dim,
-                                   rep, rep, dtype=jnp.float32,
-                                   name=f"seg{d}")(x.astype(jnp.float32))
+                                   rep, rep, dtype=sd,
+                                   name=f"seg{d}")(x.astype(sd))
                     seg = _s2d.depth_to_space(seg, dst_f)
                 else:
                     seg = ConvCF(self.num_classes, (1,) * dim, (1,) * dim,
-                                 dtype=jnp.float32, name=f"seg{d}")(
-                        x.astype(jnp.float32))
+                                 dtype=sd, name=f"seg{d}")(x.astype(sd))
                 seg_outputs.append(jnp.moveaxis(seg, 1, -1))
         seg_outputs = seg_outputs[::-1]
         if not self.deep_supervision:

@@ -495,16 +495,26 @@ class MVDSegTrainer:
 
     def run_training(self):
         self.on_train_start()
-        for epoch in range(self.current_epoch, self.num_epochs):
+        start_epoch = self.current_epoch
+        for epoch in range(start_epoch, self.num_epochs):
             self.logger.log("epoch_start_timestamps", time.time(), epoch)
             lr = poly_lr(self.initial_lr, epoch, self.num_epochs)
             self.logger.log("lrs", lr, epoch)
 
             train_losses = []
-            for _ in range(self.num_iterations_per_epoch):
+            for it in range(self.num_iterations_per_epoch):
                 data, seg = next(self.dataloader_train)
+                t_step = time.time()
                 m = self.train_step(data, seg)
                 train_losses.append(m["loss"])
+                if epoch == start_epoch and it == 0:
+                    # surface the (possibly minutes-long) first-step jit
+                    # compile — without this the log is silent from the
+                    # fold split until the END of epoch 0
+                    jax.block_until_ready(m["loss"])
+                    self.print_to_log_file(
+                        f"first train step (incl. jit compile): "
+                        f"{time.time() - t_step:.1f}s")
             train_loss = float(np.mean([jax.device_get(l) for l in train_losses]))
             self.logger.log("train_losses", train_loss, epoch)
 

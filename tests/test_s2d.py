@@ -129,7 +129,8 @@ def test_unet_s2d_equivalence():
               n_conv_per_stage_decoder=[2] * 3,
               kernel_sizes=[[3, 3, 3]] * 4,
               strides=[[1, 1, 1], [2, 2, 2], [2, 2, 2], [1, 2, 2]],
-              num_classes=3, deep_supervision=True, dtype=jnp.float32)
+              num_classes=3, deep_supervision=True, dtype=jnp.float32,
+              seg_dtype=jnp.float32)  # f32 keeps the domain comparison tight
     net0 = PlainConvUNetCF(**kw)
     net2 = PlainConvUNetCF(**kw, s2d_stages=2, s2d_factors=(1, 2, 2))
     x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 32, 32, 2),
@@ -190,3 +191,20 @@ def test_factory_uses_s2d(synthetic_raw_dataset):
     # fallback: split the two largest axes
     assert _default_s2d_factors((30, 128, 256)) == (1, 2, 2)
     assert _default_s2d_factors((320, 256)) == (2, 2)
+
+
+def test_concat_free_skip_fusion_matches_concat():
+    """CellConv/StackedConvBlocksS2D accept a tuple of channel partitions
+    (decoder skip fusion); the split-weight execution must equal the conv
+    of the concatenated input to float roundoff."""
+    from multimodal_mvd_seg_tpu.models.blocks import StackedConvBlocksS2D
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.randn(1, 8 * 4, 8, 8, 8), jnp.float32)
+    b = jnp.asarray(rng.randn(1, 8 * 4, 8, 8, 8), jnp.float32)
+    blk = StackedConvBlocksS2D(2, 16, (3, 3, 3), (1, 1, 1),
+                               (1, 2, 2), (1, 2, 2), dtype=jnp.float32)
+    params = blk.init(jax.random.PRNGKey(0),
+                      jnp.concatenate([a, b], axis=1), train=False)
+    o_cat = blk.apply(params, jnp.concatenate([a, b], axis=1), train=True)
+    o_tup = blk.apply(params, (a, b), train=True)
+    assert _rel_err(o_cat, o_tup) < 1e-5
