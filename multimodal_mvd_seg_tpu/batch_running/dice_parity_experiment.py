@@ -157,6 +157,11 @@ def run(epochs: int = 50, cases: int = 24, out_dir: str = "/tmp/parity",
                                         trainer_name)
         trainer.num_epochs = epochs
         trainer.num_iterations_per_epoch = iterations_per_epoch
+        if hasattr(trainer, "memory_start_epoch"):
+            # keep the reference curriculum's 50/200 and 100/200 fractions
+            # when the budget is shorter than the reference's 200 epochs
+            trainer.memory_start_epoch = epochs // 4
+            trainer.contrastive_start_epoch = epochs // 2
         trainer.run_training()
         summary = trainer.perform_actual_validation()
         val_folder = os.path.join(trainer.output_folder, "validation")

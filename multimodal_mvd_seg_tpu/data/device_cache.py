@@ -1,0 +1,207 @@
+"""Device-resident dataset cache with on-device patch extraction.
+
+TPU-native replacement for host-side patch slicing + per-step transfer
+(the reference streams every batch from its batchgenerators CPU workers
+over PCIe, nnUNetTrainer.get_dataloaders :595-645). When the preprocessed
+dataset fits in HBM, the right TPU design is the same move nnU-Net makes
+from npz to mmap-npy (`unpack_dataset`) taken one level further: upload
+every case ONCE in compact dtypes (f16 data, int8 seg) and extract each
+training patch on device with a fused dynamic-slice gather. The host then
+only draws patch *coordinates* per step — the exact bbox/fg-oversampling
+math of ``PatchSampler`` (reference base_data_loader.py:64-139) on case
+metadata — and a step moves O(batch·4) int32s to the device instead of
+~60 MB of voxels. On links where host→device bandwidth is scarce this is
+the difference between transfer-bound and compute-bound training.
+
+Coordinate-sampling parity: ``_sample_coords`` consumes the per-step
+``np.random.RandomState`` in exactly the order ``PatchSampler
+.generate_batch`` does (case draw → force-fg draw → bbox draws), so for a
+given seed the device-gathered batch equals the host-sampled batch up to
+the cache dtype rounding (bit-identical with ``cache_dtype=np.float32``;
+~1e-3 relative on z-scored intensities with the f16 default). A test pins
+this (tests/test_device_cache.py).
+
+Scope: 3D, single-process, non-cascade configurations. ``supports()``
+reports eligibility; the trainer falls back to ``PrefetchLoader``
+otherwise (2D slice sampling and cascade prev-stage corruption are
+host-side by design).
+"""
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .sampler import PatchSampler
+
+
+def _cache_budget_bytes() -> int:
+    gb = float(os.environ.get("MVDSEG_DEVICE_CACHE_GB", "4.0"))
+    return int(gb * (1 << 30))
+
+
+class DeviceCachedLoader:
+    """Infinite iterator of device-resident (data, seg) batches, gathered on
+    device from a one-time-uploaded dataset cache. Drop-in for
+    ``PrefetchLoader`` where ``supports()`` holds."""
+
+    def __init__(self, sampler: PatchSampler, seed: int = 0,
+                 sharding=None, cache_dtype=np.float16):
+        if not self.supports(sampler):
+            raise ValueError("DeviceCachedLoader.supports() is False for "
+                             "this sampler — use PrefetchLoader")
+        self.sampler = sampler
+        self.seed = seed
+        self.sharding = sharding
+        self.cache_dtype = np.dtype(cache_dtype)
+        self._step = 0
+        self._build_cache()
+        self._compile_gather()
+
+    # ------------------------------------------------------------ eligibility
+
+    @staticmethod
+    def supports(sampler: PatchSampler,
+                 budget_bytes: Optional[int] = None) -> bool:
+        """3D, non-cascade, single JAX process, and the padded cache fits
+        the byte budget (env MVDSEG_DEVICE_CACHE_GB, default 4.0)."""
+        if sampler.dim != 3 or sampler.cascade_foreground_labels is not None:
+            return False
+        if jax.process_count() > 1:
+            return False
+        try:
+            est = DeviceCachedLoader._estimate_bytes(sampler)
+        except Exception:
+            return False
+        return est <= (budget_bytes if budget_bytes is not None
+                       else _cache_budget_bytes())
+
+    @staticmethod
+    def _estimate_bytes(sampler: PatchSampler,
+                        itemsize_data: int = 2) -> int:
+        """Upper bound from case shapes alone (no voxel loads): every case
+        padded to the common elementwise-max of max(shape, patch)."""
+        patch = np.array(sampler.patch_size)
+        common = np.zeros(3, np.int64)
+        n_channels = None
+        for key in sampler.keys:
+            shape, c, _ = sampler.dataset.case_shape(key) \
+                if hasattr(sampler.dataset, "case_shape") else (None, None, None)
+            if shape is None:
+                data, seg, _ = sampler.dataset.load_case(key)
+                shape, c = data.shape[1:], data.shape[0]
+            common = np.maximum(common, np.maximum(np.array(shape), patch))
+            n_channels = c if n_channels is None else max(n_channels, c)
+        vox = int(np.prod(common))
+        n = len(sampler.keys)
+        return n * vox * (n_channels * itemsize_data + 1)
+
+    # ------------------------------------------------------------- cache build
+
+    def _build_cache(self):
+        s = self.sampler
+        patch = np.array(s.patch_size)
+        cases = []
+        common = np.zeros(3, np.int64)
+        for key in s.keys:
+            data, seg, props = s.dataset.load_case(key)
+            shape = np.array(data.shape[1:])
+            need = np.maximum(0, patch - shape)
+            pad_front = need // 2
+            # after front/back padding by need_to_pad the whole bbox range of
+            # _get_bbox (incl. negative lbs) is in-bounds at offset pad_front
+            cases.append((np.asarray(data), np.asarray(seg[:1]), props,
+                          shape, pad_front, need - pad_front))
+            common = np.maximum(common, shape + need)
+        n = len(cases)
+        c = max(d.shape[0] for d, *_ in cases)
+        seg_max = max(int(sg.max(initial=0)) for _, sg, *_ in cases)
+        seg_dt = np.int8 if seg_max < 128 else np.int16
+        data_all = np.zeros((n, c, *common), self.cache_dtype)
+        seg_all = np.full((n, 1, *common), s.pad_value_seg, seg_dt)
+        self._shapes, self._pad_fronts, self._props = [], [], []
+        for i, (d, sg, props, shape, pf, pb) in enumerate(cases):
+            sl = tuple(slice(int(pf[k]), int(pf[k] + shape[k]))
+                       for k in range(3))
+            data_all[(i, slice(0, d.shape[0])) + sl] = d
+            seg_all[(i, slice(0, 1)) + sl] = sg
+            self._shapes.append(shape)
+            self._pad_fronts.append(pf)
+            self._props.append(props)
+        # upload once; replicate over the mesh when the batch is sharded so
+        # each device gathers its own batch slice locally
+        if self.sharding is not None:
+            rep = jax.sharding.NamedSharding(
+                self.sharding.mesh, jax.sharding.PartitionSpec())
+            self._data_all = jax.device_put(jnp.asarray(data_all), rep)
+            self._seg_all = jax.device_put(jnp.asarray(seg_all), rep)
+        else:
+            self._data_all = jnp.asarray(data_all)
+            self._seg_all = jnp.asarray(seg_all)
+        self.cache_bytes = data_all.nbytes + seg_all.nbytes
+
+    def _compile_gather(self):
+        patch = self.sampler.patch_size
+        c = self._data_all.shape[1]
+
+        def gather(data_all, seg_all, idx, starts):
+            def one(i, st):
+                d = lax.dynamic_slice(
+                    data_all, (i, 0, st[0], st[1], st[2]), (1, c, *patch))[0]
+                sg = lax.dynamic_slice(
+                    seg_all, (i, 0, st[0], st[1], st[2]), (1, 1, *patch))[0, 0]
+                return d, sg
+            d, sg = jax.vmap(one)(idx, starts)
+            # loader contract (PrefetchLoader): channels-last f32 data,
+            # int32 seg
+            return (jnp.moveaxis(d, 1, -1).astype(jnp.float32),
+                    sg.astype(jnp.int32))
+
+        kw = {}
+        if self.sharding is not None:
+            kw["out_shardings"] = (self.sharding, self.sharding)
+        self._gather = jax.jit(gather, **kw)
+
+    # --------------------------------------------------------- coord sampling
+
+    def _sample_coords(self, rng: np.random.RandomState
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Same rng consumption order as PatchSampler.generate_batch."""
+        s = self.sampler
+        idx = np.zeros(s.batch_size, np.int32)
+        starts = np.zeros((s.batch_size, 3), np.int32)
+        for j in range(s.batch_size):
+            i = rng.randint(len(s.keys))
+            force_fg = s._must_contain_fg(j, rng)
+            props = self._props[i]
+            lbs, _ = s._get_bbox(self._shapes[i], s.patch_size, force_fg,
+                                 props.get("class_locations"), rng)
+            idx[j] = i
+            starts[j] = np.asarray(lbs) + self._pad_fronts[i]
+        return idx, starts
+
+    # -------------------------------------------------------------- iteration
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        rng = np.random.RandomState(
+            (self.seed * 1000003 + self._step) % (2 ** 31 - 1))
+        self._step += 1
+        idx, starts = self._sample_coords(rng)
+        return self._gather(self._data_all, self._seg_all,
+                            jnp.asarray(idx), jnp.asarray(starts))
+
+    # PrefetchLoader liveness API (no workers here)
+    def check_workers_alive_and_busy(self):
+        pass
+
+    def start(self):
+        pass
+
+    def stop(self):
+        pass

@@ -460,11 +460,29 @@ class MVDSegTrainer:
             ds_val, local_bs, patch, patch,
             self.oversample_foreground_percent,
             cascade_foreground_labels=cascade_labels)
-        self.dataloader_train = iter(PrefetchLoader(
-            sampler_tr, seed=seed_base, sharding=self._batch_sharding))
-        self.dataloader_val = iter(PrefetchLoader(
-            sampler_val, seed=1000 + seed_base,
-            sharding=self._batch_sharding))
+        self.dataloader_train = iter(self._make_loader(sampler_tr, seed_base))
+        self.dataloader_val = iter(self._make_loader(sampler_val,
+                                                     1000 + seed_base))
+
+    def _make_loader(self, sampler, seed):
+        """Pick the device-cached loader when the dataset fits in HBM and
+        the backend is an accelerator (one-time upload + on-device patch
+        gather beats per-step host transfer); PrefetchLoader otherwise.
+        MVDSEG_DEVICE_DATA_CACHE=1/0 forces/disables, default 'auto'."""
+        from ..data.device_cache import DeviceCachedLoader
+        mode = os.environ.get("MVDSEG_DEVICE_DATA_CACHE", "auto").lower()
+        want = (mode in ("1", "true", "force")) or (
+            mode == "auto" and jax.default_backend() != "cpu")
+        if want and DeviceCachedLoader.supports(sampler):
+            loader = DeviceCachedLoader(sampler, seed=seed,
+                                        sharding=self._batch_sharding)
+            self.print_to_log_file(
+                f"device data cache: {len(sampler.keys)} cases, "
+                f"{loader.cache_bytes / 1e6:.0f} MB resident in device memory"
+                f" (on-device patch extraction)")
+            return loader
+        return PrefetchLoader(sampler, seed=seed,
+                              sharding=self._batch_sharding)
 
     # ------------------------------------------------------------------ loop
 

@@ -1,0 +1,65 @@
+"""Device-resident dataset cache: on-device patch gather must reproduce the
+host PatchSampler pipeline (coordinate-sampling parity + voxel parity)."""
+
+import numpy as np
+import pytest
+
+from multimodal_mvd_seg_tpu.data.device_cache import DeviceCachedLoader
+from multimodal_mvd_seg_tpu.data.sampler import PatchSampler
+
+
+def _preprocess(synthetic_raw_dataset):
+    from multimodal_mvd_seg_tpu.experiment_planning.api import (
+        extract_fingerprints, plan_experiments, preprocess)
+    extract_fingerprints([1], num_processes=1)
+    plan_experiments([1])
+    preprocess([1], configurations=("3d_fullres",), num_processes=(1,))
+    import os
+    from multimodal_mvd_seg_tpu.data.dataset import MVDSegDataset
+    pre = os.path.join(synthetic_raw_dataset["preprocessed"],
+                       synthetic_raw_dataset["dataset_name"])
+    import json
+    plans = json.load(open(os.path.join(pre, "nnUNetPlans.json")))
+    folder = os.path.join(
+        pre, plans["configurations"]["3d_fullres"]["data_identifier"])
+    return MVDSegDataset(folder)
+
+
+def test_device_cache_matches_host_sampler(synthetic_raw_dataset):
+    ds = _preprocess(synthetic_raw_dataset)
+    # patch larger than some axes exercises the need_to_pad offset path
+    sampler = PatchSampler(ds, batch_size=3, patch_size=(20, 24, 40),
+                           oversample_foreground_percent=0.33)
+    loader = DeviceCachedLoader(sampler, seed=7, cache_dtype=np.float32)
+    for step in range(4):
+        d_dev, s_dev = next(loader)
+        rng = np.random.RandomState((7 * 1000003 + step) % (2 ** 31 - 1))
+        d_host, s_host = sampler.generate_batch(rng)
+        np.testing.assert_array_equal(np.asarray(s_dev), s_host)
+        np.testing.assert_allclose(np.asarray(d_dev), d_host, atol=0)
+
+
+def test_device_cache_f16_tolerance(synthetic_raw_dataset):
+    ds = _preprocess(synthetic_raw_dataset)
+    sampler = PatchSampler(ds, batch_size=2, patch_size=(16, 16, 16))
+    loader = DeviceCachedLoader(sampler, seed=3)  # default f16 cache
+    d_dev, s_dev = next(loader)
+    rng = np.random.RandomState((3 * 1000003 + 0) % (2 ** 31 - 1))
+    d_host, s_host = sampler.generate_batch(rng)
+    np.testing.assert_array_equal(np.asarray(s_dev), s_host)
+    # z-scored intensities: f16 rounding only
+    np.testing.assert_allclose(np.asarray(d_dev), d_host,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_supports_gating(synthetic_raw_dataset):
+    ds = _preprocess(synthetic_raw_dataset)
+    s3 = PatchSampler(ds, 2, (16, 16, 16))
+    assert DeviceCachedLoader.supports(s3)
+    assert not DeviceCachedLoader.supports(s3, budget_bytes=10)
+    s2 = PatchSampler(ds, 2, (16, 16), dim=2)
+    assert not DeviceCachedLoader.supports(s2)
+    sc = PatchSampler(ds, 2, (16, 16, 16), cascade_foreground_labels=[1, 2])
+    assert not DeviceCachedLoader.supports(sc)
+    with pytest.raises(ValueError):
+        DeviceCachedLoader(s2)
