@@ -200,18 +200,29 @@ class CellConvSpec:
         return wc.reshape(co * self.F_out, ci * self.F_in, *self.K_cell)
 
     def __call__(self, x: jnp.ndarray, w: jnp.ndarray,
-                 b: jnp.ndarray = None) -> jnp.ndarray:
-        """Apply the cell conv. x: (B, Ci*F_in, *cells_in); w,b logical."""
+                 b: jnp.ndarray = None, layout: str = "NC") -> jnp.ndarray:
+        """Apply the cell conv. w, b are logical.
+
+        layout "NC": x is (B, Ci*F_in, *cells_in) — channels-first cells.
+        layout "NL": x is (B, *cells_in, Ci*F_in) — channels-last cells,
+        the TPU convolution's native layout (feature dim on the 128-wide
+        lane axis; C*F >= 128 by construction so nothing pads). Numerics
+        are identical; only the conv's dimension_numbers change."""
         dim = len(self.kernel)
         wc = self.cell_kernel(w).astype(x.dtype)
         letters = "DHW"[3 - dim:]
-        dn = (f"NC{letters}", f"OI{letters}", f"NC{letters}")
+        if layout == "NC":
+            dn = (f"NC{letters}", f"OI{letters}", f"NC{letters}")
+        else:
+            dn = (f"N{letters}C", f"OI{letters}", f"N{letters}C")
         y = jax.lax.conv_general_dilated(
             x, wc, tuple(self.cell_strides), list(self.pads),
             dimension_numbers=dn)
         if b is not None:
             bc = jnp.repeat(b, self.F_out).astype(y.dtype)
-            y = y + bc.reshape(1, -1, *([1] * dim))
+            shape = (1, -1) + (1,) * dim if layout == "NC" \
+                else (1,) * (dim + 1) + (-1,)
+            y = y + bc.reshape(shape)
         return y
 
 
@@ -280,20 +291,33 @@ def artifact_mask(rep: Rep, arr_lens: Sequence[int]):
 
 
 def masked_instance_norm_act(x: jnp.ndarray, rep: Rep, scale, bias,
-                             act: bool = True) -> jnp.ndarray:
+                             act: bool = True,
+                             layout: str = "NC") -> jnp.ndarray:
     """Instance norm + leaky relu in the s2d domain: statistics per LOGICAL
     channel (reduced over the F sub-channels and all cells), artifact rows
     excluded (they are zeroed and the count corrected). Matches
-    blocks.instance_norm_act_cf numerics on the logical tensor."""
-    B, CF = x.shape[:2]
-    cells = x.shape[2:]
+    blocks.instance_norm_act_cf numerics on the logical tensor.
+
+    layout "NC": x (B, C*F, *cells).  layout "NL": x (B, *cells, C*F)."""
+    nl = layout == "NL"
+    B = x.shape[0]
+    CF = x.shape[-1] if nl else x.shape[1]
+    cells = x.shape[1:-1] if nl else x.shape[2:]
     F = rep_F(rep)
     C = CF // F
     needs_mask = any(f > 1 and p for f, p in rep)
-    xg = x.reshape(B, C, F, *cells).astype(jnp.float32)
-    red = tuple(range(2, xg.ndim))
+    if nl:
+        xg = x.reshape(B, *cells, C, F).astype(jnp.float32)
+        red = tuple(range(1, 1 + len(cells))) + (xg.ndim - 1,)
+        shp = (1,) * (1 + len(cells)) + (C, 1)
+    else:
+        xg = x.reshape(B, C, F, *cells).astype(jnp.float32)
+        red = tuple(range(2, xg.ndim))
+        shp = (1, C) + (1,) * (xg.ndim - 2)
     if needs_mask:
         m, n_real = artifact_mask(rep, cells)
+        if nl:
+            m = jnp.moveaxis(m, 0, -1)[None, ..., None, :]  # (1,*cells,1,F)
         xg = xg * m
         mean = xg.sum(axis=red, keepdims=True) / n_real
         var = (jnp.square(xg).sum(axis=red, keepdims=True) / n_real
@@ -303,7 +327,6 @@ def masked_instance_norm_act(x: jnp.ndarray, rep: Rep, scale, bias,
         mean = xg.mean(axis=red, keepdims=True)
         var = xg.var(axis=red, keepdims=True)
     y = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
-    shp = (1, C) + (1,) * (xg.ndim - 2)
     if scale is not None:
         y = y * scale.astype(jnp.float32).reshape(shp)
     if bias is not None:
@@ -312,7 +335,8 @@ def masked_instance_norm_act(x: jnp.ndarray, rep: Rep, scale, bias,
         y = jax.nn.leaky_relu(y, negative_slope=0.01)
     if needs_mask:
         y = y * m  # re-zero artifact rows (affine/act made them nonzero)
-    return y.reshape(B, CF, *cells).astype(x.dtype)
+    out_shape = (B, *cells, CF) if nl else (B, CF, *cells)
+    return y.reshape(out_shape).astype(x.dtype)
 
 
 

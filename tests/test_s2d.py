@@ -193,6 +193,34 @@ def test_factory_uses_s2d(synthetic_raw_dataset):
     assert _default_s2d_factors((320, 256)) == (2, 2)
 
 
+def test_channels_last_cell_layout_matches_nc():
+    """CellConvSpec/masked_instance_norm_act accept layout='NL'
+    (channels-last cells, the TPU conv's native layout); numerics must
+    match the NC path through a phase-up/phase-down conv+norm pair."""
+    from multimodal_mvd_seg_tpu.ops import s2d
+    rng = np.random.RandomState(0)
+    factors = (2, 2, 1)
+    rep0, rep1 = s2d.rep_of(factors), s2d.phase_up(s2d.rep_of(factors))
+    c, cells = 8, (6, 8, 10)
+    F = s2d.rep_F(rep0)
+    x_nc = jnp.asarray(rng.randn(2, c * F, *cells), jnp.float32)
+    x_nl = jnp.moveaxis(x_nc, 1, -1)
+    w = jnp.asarray(rng.randn(c, c, 3, 3, 3) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(c), jnp.float32)
+    sc = jnp.asarray(rng.randn(c), jnp.float32)
+    bi = jnp.asarray(rng.randn(c), jnp.float32)
+    spec = s2d.CellConvSpec((3, 3, 3), (1, 1, 1), rep0, rep1, cells)
+    y_nc = s2d.masked_instance_norm_act(spec(x_nc, w, b), rep1, sc, bi)
+    y_nl = s2d.masked_instance_norm_act(
+        spec(x_nl, w, b, layout="NL"), rep1, sc, bi, layout="NL")
+    spec2 = s2d.CellConvSpec((3, 3, 3), (1, 1, 1), rep1, rep0,
+                             tuple(spec.out_lens))
+    z_nc = s2d.masked_instance_norm_act(spec2(y_nc, w), rep0, sc, bi)
+    z_nl = s2d.masked_instance_norm_act(spec2(y_nl, w, layout="NL"),
+                                        rep0, sc, bi, layout="NL")
+    assert float(jnp.max(jnp.abs(z_nc - jnp.moveaxis(z_nl, -1, 1)))) < 1e-4
+
+
 def test_concat_free_skip_fusion_matches_concat():
     """CellConv/StackedConvBlocksS2D accept a tuple of channel partitions
     (decoder skip fusion); the split-weight execution must equal the conv
