@@ -279,32 +279,42 @@ class CellConv(nn.Module):
     rep_out: tuple
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    # cell layouts (ops/s2d.py): "NC" = (B, C*F, *cells), "NL" =
+    # (B, *cells, C*F); entry/exit convs may change layout in the conv op
+    layout_in: str = "NC"
+    layout_out: str = "NC"
 
     @nn.compact
     def __call__(self, x):
         parts = x if isinstance(x, (tuple, list)) else (x,)
+        dim = len(self.kernel_size)
         f_in = _s2d.rep_F(self.rep_in)
-        cins = [p.shape[1] // f_in for p in parts]
+        caxis = 1 if self.layout_in == "NC" else -1
+        cins = [p.shape[caxis] // f_in for p in parts]
         cin = sum(cins)
         kshape = (self.features, cin, *self.kernel_size)
         w = self.param("kernel", nn.initializers.variance_scaling(
             2.0, "fan_in", "truncated_normal"), kshape, jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32) if self.use_bias else None
+        in_lens = parts[0].shape[2:] if self.layout_in == "NC" \
+            else parts[0].shape[1:-1]
         spec = _cell_spec(tuple(map(int, self.kernel_size)),
                           tuple(map(int, self.strides)),
-                          self.rep_in, self.rep_out,
-                          tuple(parts[0].shape[2:]))
+                          self.rep_in, self.rep_out, tuple(in_lens))
         out = None
         off = 0
         for p, ci in zip(parts, cins):
             wp = jax.lax.slice_in_dim(w, off, off + ci, axis=1)
             off += ci
-            y = spec(p.astype(self.dtype), wp.astype(self.dtype), None)
+            y = spec(p.astype(self.dtype), wp.astype(self.dtype), None,
+                     layout_in=self.layout_in, layout_out=self.layout_out)
             out = y if out is None else out + y
         if b is not None:
             bc = jnp.repeat(b, spec.F_out).astype(out.dtype)
-            out = out + bc.reshape(1, -1, *([1] * len(self.kernel_size)))
+            shape = (1, -1) + (1,) * dim if self.layout_out == "NC" \
+                else (1,) * (dim + 1) + (-1,)
+            out = out + bc.reshape(shape)
         return out
 
 
@@ -318,20 +328,24 @@ class ConvNormActS2D(nn.Module):
     rep_out: tuple
     act: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    layout_in: str = "NC"
+    layout_out: str = "NC"
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
         x = CellConv(self.features, self.kernel_size, self.strides,
                      self.rep_in, self.rep_out, dtype=self.dtype,
+                     layout_in=self.layout_in, layout_out=self.layout_out,
                      name="conv")(x)
         scale = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         rep = self.rep_out
+        lo = self.layout_out
         norm = jax.checkpoint(
             lambda t, s, b: _s2d.masked_instance_norm_act(
-                t, rep, s, b, act=self.act))
+                t, rep, s, b, act=self.act, layout=lo))
         return norm(x, scale, bias)
 
 
@@ -350,6 +364,11 @@ class StackedConvBlocksS2D(nn.Module):
     in_factors: Sequence[int]
     factors: Sequence[int]
     dtype: jnp.dtype = jnp.bfloat16
+    # stage cell layout ("NC"/"NL") and the layout the input arrives in.
+    # Unfactored reps (normal domain) are always carried NC: with C < 128
+    # channels-last would re-introduce the lane padding s2d exists to avoid.
+    layout: str = "NC"
+    layout_in: str = "NC"
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -360,7 +379,9 @@ class StackedConvBlocksS2D(nn.Module):
         if factored:
             assert self.n_convs % 2 == 0, \
                 "s2d stages need an even conv count"
+        stage_layout = self.layout if factored else "NC"
         rep = in_rep
+        li = self.layout_in
         for i in range(self.n_convs):
             stride = self.first_stride if i == 0 else (1,) * dim
             if factored:
@@ -370,8 +391,10 @@ class StackedConvBlocksS2D(nn.Module):
                 rep_out = stage_rep  # normal domain (exit conv when i == 0)
             x = ConvNormActS2D(self.features, self.kernel_size, stride,
                                rep, rep_out, dtype=self.dtype,
+                               layout_in=li, layout_out=stage_layout,
                                name=f"block{i}")(x, train=train)
             rep = rep_out
+            li = stage_layout
         return x
 
 
@@ -384,15 +407,19 @@ class ConvTransposeS2D(nn.Module):
     in_factors: Sequence[int]
     out_factors: Sequence[int]
     dtype: jnp.dtype = jnp.bfloat16
+    layout_in: str = "NC"
+    layout_out: str = "NC"
 
     @nn.compact
     def __call__(self, x):
         f_in = int(np.prod(self.in_factors))
-        cin = x.shape[1] // f_in
+        caxis = 1 if self.layout_in == "NC" else -1
+        cin = x.shape[caxis] // f_in
         kshape = (cin, self.features, *self.kernel_size)
         w = self.param("kernel", nn.initializers.variance_scaling(
             2.0, "fan_in", "truncated_normal"), kshape, jnp.float32)
         return _s2d.cell_transpose(
             x.astype(self.dtype), w.astype(self.dtype),
             _s2d.rep_of(self.in_factors), _s2d.rep_of(self.out_factors),
-            tuple(self.strides))
+            tuple(self.strides), layout_in=self.layout_in,
+            layout_out=self.layout_out)

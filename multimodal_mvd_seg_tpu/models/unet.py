@@ -219,6 +219,10 @@ class PlainConvUNetCF(nn.Module):
     # Stages that fail the cell-conv constraints are demoted automatically.
     s2d_stages: int = 0
     s2d_factors: Tuple[int, ...] = (1, 2, 2)
+    # cell layout of the s2d stages: "NC" = (B, C*F, *cells), "NL" =
+    # (B, *cells, C*F) — the TPU conv's native layout (C*F >= 128 pads
+    # nothing); entry/exit convs change layout inside the conv op
+    s2d_layout: str = "NC"
     # logits dtype; bf16 matches the reference's AMP training (losses
     # upcast to f32 before softmax/Dice)
     seg_dtype: jnp.dtype = jnp.bfloat16
@@ -236,6 +240,9 @@ class PlainConvUNetCF(nn.Module):
         def factored(s):
             return any(f > 1 for f in sf[s])
 
+        def lay(s):
+            return "NL" if factored(s) and self.s2d_layout == "NL" else "NC"
+
         if factored(0):
             x = _s2d.space_to_depth(x, sf[0])
         skips = []
@@ -249,7 +256,9 @@ class PlainConvUNetCF(nn.Module):
             cls = nn.remat(base) if s < self.remat_stages else base
             kwargs = dict(dtype=self.dtype, name=f"encoder_stage{s}")
             if use_s2d:
+                li = "NC" if s == 0 else lay(s - 1)
                 x = cls(n, f, k, st, tuple(in_f), tuple(sf[s]),
+                        layout=lay(s), layout_in=li,
                         **kwargs)(x, train=train)
             else:
                 x = cls(n, f, k, st, **kwargs)(x, train=train)
@@ -265,6 +274,8 @@ class PlainConvUNetCF(nn.Module):
             if factored(skip_stage) or any(ff > 1 for ff in src_f):
                 x = ConvTransposeS2D(f, stride, stride, tuple(src_f),
                                      tuple(dst_f), dtype=self.dtype,
+                                     layout_in=lay(skip_stage + 1),
+                                     layout_out=lay(skip_stage),
                                      name=f"up{d}")(x)
             else:
                 x = ConvTransposeCF(f, stride, stride, dtype=self.dtype,
@@ -279,7 +290,8 @@ class PlainConvUNetCF(nn.Module):
                 # concatenated tensor at the full-res stages (CellConv)
                 x = cls(self.n_conv_per_stage_decoder[d], f,
                         self.kernel_sizes[skip_stage], (1,) * dim,
-                        tuple(dst_f), tuple(dst_f), **kwargs)(
+                        tuple(dst_f), tuple(dst_f), layout=lay(skip_stage),
+                        layout_in=lay(skip_stage), **kwargs)(
                     (x, skips[skip_stage].astype(x.dtype)), train=train)
             else:
                 x = jnp.concatenate([x, skips[skip_stage].astype(x.dtype)],
@@ -296,14 +308,19 @@ class PlainConvUNetCF(nn.Module):
                 sd = self.seg_dtype
                 if use_s2d:
                     rep = _s2d.rep_of(dst_f)
+                    ll = lay(skip_stage)
                     seg = CellConv(self.num_classes, (1,) * dim, (1,) * dim,
-                                   rep, rep, dtype=sd,
+                                   rep, rep, dtype=sd, layout_in=ll,
+                                   layout_out=ll,
                                    name=f"seg{d}")(x.astype(sd))
-                    seg = _s2d.depth_to_space(seg, dst_f)
+                    seg = _s2d.depth_to_space_cl(seg, dst_f) if ll == "NL" \
+                        else jnp.moveaxis(_s2d.depth_to_space(seg, dst_f),
+                                          1, -1)
                 else:
                     seg = ConvCF(self.num_classes, (1,) * dim, (1,) * dim,
                                  dtype=sd, name=f"seg{d}")(x.astype(sd))
-                seg_outputs.append(jnp.moveaxis(seg, 1, -1))
+                    seg = jnp.moveaxis(seg, 1, -1)
+                seg_outputs.append(seg)
         seg_outputs = seg_outputs[::-1]
         if not self.deep_supervision:
             return seg_outputs[0]

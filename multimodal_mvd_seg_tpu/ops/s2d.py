@@ -200,27 +200,31 @@ class CellConvSpec:
         return wc.reshape(co * self.F_out, ci * self.F_in, *self.K_cell)
 
     def __call__(self, x: jnp.ndarray, w: jnp.ndarray,
-                 b: jnp.ndarray = None, layout: str = "NC") -> jnp.ndarray:
+                 b: jnp.ndarray = None, layout: str = "NC",
+                 layout_in: str = None,
+                 layout_out: str = None) -> jnp.ndarray:
         """Apply the cell conv. w, b are logical.
 
         layout "NC": x is (B, Ci*F_in, *cells_in) — channels-first cells.
         layout "NL": x is (B, *cells_in, Ci*F_in) — channels-last cells,
         the TPU convolution's native layout (feature dim on the 128-wide
         lane axis; C*F >= 128 by construction so nothing pads). Numerics
-        are identical; only the conv's dimension_numbers change."""
+        are identical; only the conv's dimension_numbers change.
+        layout_in/layout_out override the two sides independently (stage
+        entry/exit convs change domain and layout in the same op)."""
         dim = len(self.kernel)
+        li = layout_in or layout
+        lo = layout_out or layout
         wc = self.cell_kernel(w).astype(x.dtype)
         letters = "DHW"[3 - dim:]
-        if layout == "NC":
-            dn = (f"NC{letters}", f"OI{letters}", f"NC{letters}")
-        else:
-            dn = (f"N{letters}C", f"OI{letters}", f"N{letters}C")
+        lhs = f"NC{letters}" if li == "NC" else f"N{letters}C"
+        out = f"NC{letters}" if lo == "NC" else f"N{letters}C"
         y = jax.lax.conv_general_dilated(
             x, wc, tuple(self.cell_strides), list(self.pads),
-            dimension_numbers=dn)
+            dimension_numbers=(lhs, f"OI{letters}", out))
         if b is not None:
             bc = jnp.repeat(b, self.F_out).astype(y.dtype)
-            shape = (1, -1) + (1,) * dim if layout == "NC" \
+            shape = (1, -1) + (1,) * dim if lo == "NC" \
                 else (1,) * (dim + 1) + (-1,)
             y = y + bc.reshape(shape)
         return y
@@ -260,6 +264,24 @@ def depth_to_space(x: jnp.ndarray, factors: Sequence[int]) -> jnp.ndarray:
         perm += [2 + dim + a, 2 + a]
     x = x.transpose(perm)
     return x.reshape(B, C, *[n * f for n, f in zip(cells, factors)])
+
+
+def depth_to_space_cl(x: jnp.ndarray, factors: Sequence[int]) -> jnp.ndarray:
+    """Channels-last cells → channels-last spatial:
+    (B, *cells, C*F) -> (B, *spatial, C)."""
+    B = x.shape[0]
+    cells = x.shape[1:-1]
+    CF = x.shape[-1]
+    dim = len(cells)
+    F = int(np.prod(factors))
+    C = CF // F
+    x = x.reshape(B, *cells, C, *factors)
+    perm = [0]
+    for a in range(dim):
+        perm += [1 + a, 1 + dim + 1 + a]  # n_a, f_a interleave
+    perm += [1 + dim]                     # C last
+    x = x.transpose(perm)
+    return x.reshape(B, *[n * f for n, f in zip(cells, factors)], C)
 
 
 @functools.lru_cache(maxsize=None)
@@ -419,10 +441,13 @@ class CellTransposeSpec:
         self._idx = idx
         self._msk = msk
 
-    def __call__(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, Ci*F_in, *cells); w logical (Ci, Co, *strides)."""
+    def __call__(self, x: jnp.ndarray, w: jnp.ndarray,
+                 layout_in: str = "NC",
+                 layout_out: str = "NC") -> jnp.ndarray:
+        """x: (B, Ci*F_in, *cells) for layout_in 'NC', (B, *cells, Ci*F_in)
+        for 'NL'; w logical (Ci, Co, *strides)."""
         dim = len(self.strides)
-        ci = x.shape[1] // self.F_in
+        ci = (x.shape[1] if layout_in == "NC" else x.shape[-1]) // self.F_in
         co = w.shape[1]
         # logical (Ci, Co, *k) -> (Co, Ci, K_flat) -> cell kernel
         wf = jnp.swapaxes(w, 0, 1).reshape(co, ci, -1)
@@ -432,7 +457,7 @@ class CellTransposeSpec:
         # out length per axis: out_cells = in_cells * s * f_in / f_out
         pads = []
         for a in range(dim):
-            n_in = x.shape[2 + a]
+            n_in = x.shape[2 + a] if layout_in == "NC" else x.shape[1 + a]
             n_out = n_in * self.strides[a] * self.rep_in[a][0] \
                 // self.rep_out[a][0]
             dil_len = self.dils[a] * (n_in - 1) + 1
@@ -441,10 +466,12 @@ class CellTransposeSpec:
             assert hi >= -0 and lo >= 0, (lo, hi)
             pads.append((lo, hi))
         letters = "DHW"[3 - dim:]
-        dn = (f"NC{letters}", f"OI{letters}", f"NC{letters}")
+        lhs = f"NC{letters}" if layout_in == "NC" else f"N{letters}C"
+        out = f"NC{letters}" if layout_out == "NC" else f"N{letters}C"
         return jax.lax.conv_general_dilated(
             x, wc.astype(x.dtype), (1,) * dim, pads,
-            lhs_dilation=tuple(self.dils), dimension_numbers=dn)
+            lhs_dilation=tuple(self.dils),
+            dimension_numbers=(lhs, f"OI{letters}", out))
 
 
 @functools.lru_cache(maxsize=None)
@@ -453,9 +480,11 @@ def _transpose_spec(strides, rep_in, rep_out):
 
 
 def cell_transpose(x: jnp.ndarray, w: jnp.ndarray, rep_in: Rep,
-                   rep_out: Rep, strides: Sequence[int]) -> jnp.ndarray:
+                   rep_out: Rep, strides: Sequence[int],
+                   layout_in: str = "NC",
+                   layout_out: str = "NC") -> jnp.ndarray:
     """Transposed conv with kernel==stride from rep_in to rep_out (both
     phase 0), matching ConvTransposeCF (lax.conv_transpose SAME) numerics.
     w: logical (Ci, Co, *k) with k == strides."""
     spec = _transpose_spec(tuple(strides), tuple(rep_in), tuple(rep_out))
-    return spec(x, w)
+    return spec(x, w, layout_in=layout_in, layout_out=layout_out)

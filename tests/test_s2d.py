@@ -221,6 +221,33 @@ def test_channels_last_cell_layout_matches_nc():
     assert float(jnp.max(jnp.abs(z_nc - jnp.moveaxis(z_nl, -1, 1)))) < 1e-4
 
 
+def test_unet_s2d_layout_nl_matches_nc():
+    """s2d_layout='NL' (channels-last cells) must produce the same outputs
+    as the NC default from the SAME parameter tree (it is purely an
+    execution-layout choice)."""
+    from multimodal_mvd_seg_tpu.models.unet import PlainConvUNetCF
+    kw = dict(features_per_stage=[8, 16, 32, 64],
+              n_conv_per_stage_encoder=[2] * 4,
+              n_conv_per_stage_decoder=[2] * 3,
+              kernel_sizes=[[3, 3, 3]] * 4,
+              strides=[[1, 1, 1], [2, 2, 2], [2, 2, 2], [1, 2, 2]],
+              num_classes=3, deep_supervision=True, dtype=jnp.float32,
+              seg_dtype=jnp.float32, s2d_stages=2, s2d_factors=(1, 2, 2))
+    net_nc = PlainConvUNetCF(**kw)
+    net_nl = PlainConvUNetCF(**kw, s2d_layout="NL")
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 32, 32, 2),
+                    jnp.float32)
+    params = jax.jit(net_nc.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    o_nc = jax.jit(net_nc.apply, static_argnames="train")(
+        params, x, train=False)
+    o_nl = jax.jit(net_nl.apply, static_argnames="train")(
+        params, x, train=False)
+    for a, b in zip(o_nc, o_nl):
+        assert a.shape == b.shape
+        assert _rel_err(a, b) < 2e-5
+
+
 def test_concat_free_skip_fusion_matches_concat():
     """CellConv/StackedConvBlocksS2D accept a tuple of channel partitions
     (decoder skip fusion); the split-weight execution must equal the conv
