@@ -8,12 +8,15 @@ XLA inserts the gradient psums over ICI. The per-rank batch-size/oversample
 partitioning logic (reference nnUNetTrainer.py:304-349) disappears: the
 sampler produces the *global* batch and sharding distributes it.
 
-The mesh carries a second 'model' axis so callers can build non-trivial
-(data, model) layouts, but no shipped trainer shards parameters on it today
-— the reference has data parallelism only (SURVEY.md §2b parallelism
-census), and every trainer here pjits with params replicated. Pass
-n_model=1 (the default) unless you are experimenting with your own
-partition specs."""
+The mesh carries a second 'model' axis for tensor parallelism: trainers
+ask for it with ``n_model_parallel > 1`` and shard their parameter /
+optimizer state over it via ``tensor_parallel_shardings`` (GSPMD-style:
+annotate the weights, let XLA's SPMD partitioner propagate activation
+shardings and insert the collectives — the pjit-idiomatic form of
+Megatron column parallelism). The reference has data parallelism only
+(SURVEY.md §2b parallelism census); the model axis is a TPU-native
+extension that cuts per-device parameter+optimizer memory ~n_model-fold
+on the 335M-parameter MVD dual net."""
 
 from typing import Optional, Sequence
 
@@ -32,6 +35,39 @@ def get_mesh(n_data: Optional[int] = None, n_model: int = 1,
         f"have {len(devices)}"
     dev_array = np.array(devices[:n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def tensor_parallel_shardings(tree, mesh: Mesh, axis: str = "model",
+                              min_bytes: int = 1 << 18):
+    """Sharding tree for params/optimizer state: every leaf of at least
+    ``min_bytes`` whose largest axis is divisible by the mesh's ``axis``
+    size is sharded on that axis (column-parallel for (Co, Ci, *k) conv
+    kernels and (in, out) dense kernels alike); everything else —
+    biases, norm scales, the feature-memory bank, scalars — replicates.
+    XLA's SPMD partitioner derives the activation shardings and inserts
+    the all-gathers/reduce-scatters, so no model code changes."""
+    n = mesh.shape[axis]
+    rep = NamedSharding(mesh, P())
+    if n <= 1:
+        return jax.tree.map(lambda _: rep, tree)
+
+    def rule(x):
+        shape = tuple(getattr(x, "shape", ()))
+        if not shape:
+            return rep
+        size = int(np.prod(shape))
+        itemsize = np.dtype(x.dtype).itemsize if hasattr(x, "dtype") else 4
+        if size * itemsize < min_bytes:
+            return rep
+        cands = [i for i, d in enumerate(shape) if d % n == 0 and d >= 2 * n]
+        if not cands:
+            return rep
+        d = max(cands, key=lambda i: shape[i])
+        spec = [None] * len(shape)
+        spec[d] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(rule, tree)
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
