@@ -18,11 +18,9 @@ per-class loop is a ``vmap``; selector scores are computed by the caller
 import jax
 import jax.numpy as jnp
 
+from ..utils.helpers import l2_normalize as _l2norm
+
 _EPS = 1e-12
-
-
-def _l2norm(x):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), _EPS)
 
 
 def contrastive_class_to_class_learned_memory(

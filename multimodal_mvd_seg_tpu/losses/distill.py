@@ -9,6 +9,8 @@ between two probability maps."""
 import jax
 import jax.numpy as jnp
 
+from ..utils.helpers import l2_normalize
+
 _EPS = 1e-8
 
 
@@ -72,8 +74,8 @@ def contrast_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
     -log exp(sim(a,p)/t) / (exp(sim(a,p)/t) + Σᵢ exp(sim(a,nᵢ)/t)).
     anchor/positive: (N, F); negatives: (K, N, F) or (N, F)."""
     def cos(u, v):
-        u = u / jnp.clip(jnp.linalg.norm(u, axis=-1, keepdims=True), _EPS)
-        v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
+        u = l2_normalize(u, eps=_EPS)  # NaN-safe backward at zero rows
+        v = l2_normalize(v, eps=_EPS)
         return (u * v).sum(-1)
 
     if negatives.ndim == anchor.ndim:

@@ -34,6 +34,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..utils.helpers import l2_normalize
+
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
@@ -113,8 +115,8 @@ class EPA(nn.Module):
         k_proj = jnp.einsum("bhcn,np->bhcp", k, proj)
         v_sa_proj = jnp.einsum("bhcn,np->bhcp", v_sa, proj)
 
-        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-        kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+        qn = l2_normalize(q)  # NaN-safe at zero rows (GSPMD padding)
+        kn = l2_normalize(k)
 
         t_ca = self.param("temperature", nn.initializers.ones, (h, 1, 1),
                           jnp.float32)
@@ -419,10 +421,8 @@ class EPACF(nn.Module):
         k_proj = jnp.einsum("bhcn,np->bhcp", k, proj)
         v_sa_proj = jnp.einsum("bhcn,np->bhcp", v_sa, proj)
 
-        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
-                             1e-12)
-        kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True),
-                             1e-12)
+        qn = l2_normalize(q)  # NaN-safe at zero rows (GSPMD padding)
+        kn = l2_normalize(k)
         t_ca = self.param("temperature", nn.initializers.ones, (h, 1, 1),
                           jnp.float32)
         t_sa = self.param("temperature2", nn.initializers.ones, (h, 1, 1),

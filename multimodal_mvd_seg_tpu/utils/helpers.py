@@ -13,6 +13,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def l2_normalize(x, axis=-1, eps=1e-12):
+    """x / max(‖x‖₂, eps) with a backward that is finite at x = 0.
+
+    ``x / jnp.maximum(jnp.linalg.norm(x), eps)`` guards the division but
+    NOT the norm's own VJP (d‖x‖/dx = x/‖x‖ → 0/0 = NaN on an all-zero
+    row). All-zero rows are routine here — empty memory-bank slots, masked
+    contrastive rows, and ESPECIALLY the zero padding GSPMD adds to
+    sharded axes under 'model'-axis tensor parallelism (a NaN in the
+    padding poisons real gradients through the dW reductions; observed as
+    NaN params on every n_model=2 step). The rsqrt(max(Σx², eps²)) form
+    is NaN-free everywhere and cheaper (no sqrt-then-divide)."""
+    n2 = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(n2, eps * eps))
+
+
 def softmax_helper_dim0(x):
     return jax.nn.softmax(x, axis=0)
 
