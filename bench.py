@@ -16,7 +16,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,15 @@ import optax
 A100_STEPS_PER_S = 250.0 / 120.0
 
 
-def main():
+def build_step(s2d_layout: str = None):
+    """The benchmark train step and its example arguments, unjitted —
+    shared with batch_running/hlo_bytes.py (per-instruction HBM byte
+    attribution of this exact executable). ``s2d_layout`` picks the cell
+    layout of the space-to-depth stages ("NC"/"NL", see ops/s2d.py);
+    default from $MVDSEG_BENCH_S2D_LAYOUT, falling back to "NC"."""
+    import os
+    if s2d_layout is None:
+        s2d_layout = os.environ.get("MVDSEG_BENCH_S2D_LAYOUT", "NC")
     from multimodal_mvd_seg_tpu.models.unet import PlainConvUNetCF
     from multimodal_mvd_seg_tpu.losses.compound import DC_and_CE_loss
     from multimodal_mvd_seg_tpu.losses.deep_supervision import (
@@ -53,7 +60,8 @@ def main():
         num_classes=classes,
         deep_supervision=True,
         s2d_stages=2,
-        s2d_factors=(2, 2, 1))
+        s2d_factors=(2, 2, 1),
+        s2d_layout=s2d_layout)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, channels), jnp.bfloat16)
@@ -71,12 +79,16 @@ def main():
                      optax.sgd(1e-2, momentum=0.99, nesterov=True))
     opt_state = tx.init(params)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, data, seg):
+        # data arrives (b, c, *patch): a compact HBM buffer (channels-last
+        # would lane-pad c=2 to 128, a 64x-padded input the first read
+        # pays for). The channels-last view below cancels against the
+        # model's internal (B, C, *sp) entry transpose inside this jit.
+        data_cl = jnp.moveaxis(data, 1, -1)
         targets = downsample_seg_for_ds(seg, ds_scales)
 
         def loss_fn(p):
-            outs = net.apply({"params": p}, data, train=True)
+            outs = net.apply({"params": p}, data_cl, train=True)
             return loss_obj(outs, targets)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -84,9 +96,15 @@ def main():
         return optax.apply_updates(params, updates), opt_state2, loss
 
     rs = np.random.RandomState(0)
-    data = jnp.asarray(rs.normal(size=(batch, *patch, channels)),
+    data = jnp.asarray(rs.normal(size=(batch, channels, *patch)),
                        jnp.bfloat16)
     seg = jnp.asarray(rs.randint(0, classes, (batch, *patch)), jnp.int32)
+    return train_step, (params, opt_state, data, seg)
+
+
+def main():
+    step, (params, opt_state, data, seg) = build_step()
+    train_step = jax.jit(step, donate_argnums=(0, 1))
 
     # warmup / compile (float() forces a host readback: on the axon tunnel
     # block_until_ready alone does not synchronize)

@@ -86,17 +86,30 @@ class ConvTransposeCF(nn.Module):
 def instance_norm_act_cf(x, act: bool = True,
                          scale=None, bias=None) -> jnp.ndarray:
     """Instance norm (+ leaky relu) over the spatial axes of (B, C, *sp),
-    fp32 statistics, output in the input dtype."""
+    fp32 statistics, output in the input dtype.
+
+    Written as two fused reductions (E[x], E[x^2]) + one elementwise pass
+    ``y = x*a + b`` with per-(B,C) coefficients: the naive
+    ``(x - mean) * rsqrt(var)`` form makes XLA materialize full-size f32
+    broadcasts of the keepdims stats and an f32 copy of x between the
+    reduce and elementwise passes — measured ~0.5 GB of pure relayout/
+    broadcast HBM traffic per norm at the full-res stages (see
+    batch_running/hlo_bytes.py). a/b are tiny (B, C) tensors, so the
+    elementwise pass reads only bf16 x and writes bf16 y."""
     axes = tuple(range(2, x.ndim))
     xf = x.astype(jnp.float32)
-    m = xf.mean(axis=axes, keepdims=True)
-    v = xf.var(axis=axes, keepdims=True)
-    y = (xf - m) * jax.lax.rsqrt(v + 1e-5)
-    shape = (1, -1) + (1,) * (x.ndim - 2)
+    m = xf.mean(axis=axes)                      # (B, C)
+    m2 = jnp.square(xf).mean(axis=axes)
+    v = m2 - jnp.square(m)  # fine here: IN activations are O(1)
+    a = jax.lax.rsqrt(v + 1e-5)
+    b = -m * a
     if scale is not None:
-        y = y * scale.astype(jnp.float32).reshape(shape)
+        s = scale.astype(jnp.float32)[None, :]  # (1, C)
+        a, b = a * s, b * s
     if bias is not None:
-        y = y + bias.astype(jnp.float32).reshape(shape)
+        b = b + bias.astype(jnp.float32)[None, :]
+    cshape = a.shape + (1,) * (x.ndim - 2)
+    y = xf * a.reshape(cshape) + b.reshape(cshape)
     if act:
         y = jax.nn.leaky_relu(y, negative_slope=0.01)
     return y.astype(x.dtype)

@@ -331,32 +331,42 @@ def masked_instance_norm_act(x: jnp.ndarray, rep: Rep, scale, bias,
     if nl:
         xg = x.reshape(B, *cells, C, F).astype(jnp.float32)
         red = tuple(range(1, 1 + len(cells))) + (xg.ndim - 1,)
-        shp = (1,) * (1 + len(cells)) + (C, 1)
     else:
         xg = x.reshape(B, C, F, *cells).astype(jnp.float32)
         red = tuple(range(2, xg.ndim))
-        shp = (1, C) + (1,) * (xg.ndim - 2)
+    # Stats as two fused reductions + one ``y = x*a + b`` elementwise pass
+    # with per-(B, C) coefficients: the (x - mean)*rsqrt(var) form makes
+    # XLA materialize full-size f32 broadcasts of the keepdims stats
+    # between the reduce and elementwise passes (measured with
+    # batch_running/hlo_bytes.py); a/b are tiny, so the elementwise pass
+    # reads bf16 x once and writes bf16 y once.
     if needs_mask:
-        m, n_real = artifact_mask(rep, cells)
+        msk, n_real = artifact_mask(rep, cells)
         if nl:
-            m = jnp.moveaxis(m, 0, -1)[None, ..., None, :]  # (1,*cells,1,F)
-        xg = xg * m
-        mean = xg.sum(axis=red, keepdims=True) / n_real
-        var = (jnp.square(xg).sum(axis=red, keepdims=True) / n_real
-               - jnp.square(mean))
+            msk = jnp.moveaxis(msk, 0, -1)[None, ..., None, :]
+        xg = xg * msk
+        mean = xg.sum(axis=red) / n_real
+        var = jnp.square(xg).sum(axis=red) / n_real - jnp.square(mean)
     else:
-        n_real = int(np.prod([F] + list(cells)))
-        mean = xg.mean(axis=red, keepdims=True)
-        var = xg.var(axis=red, keepdims=True)
-    y = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
+        mean = xg.mean(axis=red)                       # (B, C)
+        var = jnp.square(xg).mean(axis=red) - jnp.square(mean)
+    a = jax.lax.rsqrt(var + 1e-5)
+    b = -mean * a
     if scale is not None:
-        y = y * scale.astype(jnp.float32).reshape(shp)
+        s = scale.astype(jnp.float32)[None, :]
+        a, b = a * s, b * s
     if bias is not None:
-        y = y + bias.astype(jnp.float32).reshape(shp)
+        b = b + bias.astype(jnp.float32)[None, :]
+    # broadcast (B, C) coefficients to the grouped layout's stat shape
+    bshape = [1] * xg.ndim
+    bshape[0] = B
+    bshape[xg.ndim - 2 if nl else 1] = C
+    a, b = a.reshape(bshape), b.reshape(bshape)
+    y = xg * a + b
     if act:
         y = jax.nn.leaky_relu(y, negative_slope=0.01)
     if needs_mask:
-        y = y * m  # re-zero artifact rows (affine/act made them nonzero)
+        y = y * msk  # re-zero artifact rows (affine/act made them nonzero)
     out_shape = (B, *cells, CF) if nl else (B, CF, *cells)
     return y.reshape(out_shape).astype(x.dtype)
 
