@@ -155,10 +155,10 @@ class DeviceCachedLoader:
                     seg_all, (i, 0, st[0], st[1], st[2]), (1, 1, *patch))[0, 0]
                 return d, sg
             d, sg = jax.vmap(one)(idx, starts)
-            # loader contract (PrefetchLoader): channels-last f32 data,
+            # loader contract: channels-FIRST (b, c, *patch) f32 data
+            # (matches PatchSampler.generate_batch; TPU-native layout),
             # int32 seg
-            return (jnp.moveaxis(d, 1, -1).astype(jnp.float32),
-                    sg.astype(jnp.int32))
+            return d.astype(jnp.float32), sg.astype(jnp.int32)
 
         kw = {}
         if self.sharding is not None:

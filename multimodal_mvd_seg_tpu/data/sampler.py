@@ -146,8 +146,14 @@ class PatchSampler:
         return cropped
 
     def generate_batch(self, rng: np.random.RandomState):
+        """-> data (b, c, *patch) float32, seg (b, *patch) int32.
+
+        Channels-FIRST: the TPU-native batch layout (channels-last would
+        lane-pad c=2 to 128 in every on-device consumer — see
+        data/augment.py); also what the preprocessed (c, *sp) case arrays
+        store, so assembly is a plain crop without a transpose."""
         b = self.batch_size
-        data_batch = np.zeros((b, *self.patch_size, 0), np.float32)
+        data_batch = np.zeros((b, 0, *self.patch_size), np.float32)
         seg_batch = np.zeros((b, *self.patch_size), np.int32)
         data_alloc = None
         for j in range(b):
@@ -186,8 +192,9 @@ class PatchSampler:
                                    for l in self.cascade_foreground_labels])
                 d = np.concatenate([d, onehot], 0)
             if data_alloc is None:
-                data_alloc = np.zeros((b, *self.patch_size, d.shape[0]), np.float32)
-            data_alloc[j] = np.moveaxis(d, 0, -1)
+                data_alloc = np.zeros((b, d.shape[0], *self.patch_size),
+                                      np.float32)
+            data_alloc[j] = d
             seg_batch[j] = s_[0]
         return data_alloc if data_alloc is not None else data_batch, seg_batch
 

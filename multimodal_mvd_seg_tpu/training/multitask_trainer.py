@@ -123,7 +123,9 @@ class MultiTaskTrainer(MVDSegTrainer):
             for _ in range(self.num_iterations_per_epoch):
                 data, seg = next(self.dataloader_train)
                 m = self.train_step(data, seg)
-                losses.append(m["loss"])
+                if m is not None:  # None while a pipelining step is primed
+                    losses.append(m["loss"])
+            losses += [m["loss"] for m in self.flush_train_steps()]
             self.logger.log("train_losses",
                             float(np.mean([jax.device_get(l)
                                            for l in losses])), epoch)

@@ -130,6 +130,20 @@ class ContrastiveTrainer(MVDSegTrainer):
         # backends like the axon-tunneled TPU. "off" disables the term.
         self.topo_mode = "auto"
         self.topo_q = 2.0
+        # Pipeline the two-phase topological step: the probe jit for batch
+        # k is enqueued BEFORE the train jit for batch k-1, so the host
+        # persistence/matching of batch k runs while the device executes
+        # train step k-1 (measured 0.2-0.4 s of host work hidden behind a
+        # ~1 s device step). The match is thereby computed from params one
+        # SGD step older than the params the loss differentiates — the
+        # matching is a detached constant in the gradient either way (the
+        # reference also treats it as such, MVDTrainer.py:904-924), and
+        # with lr=0 the pipelined step is bit-identical to the sequential
+        # one (tests/test_mvd_trainer.py). Disable to reproduce the exact
+        # sequential schedule.
+        self.topo_pipeline = True
+        self._pending_step = None
+        self._match_pool = None
         self._dummy_match_cache = {}
 
     def build_network_architecture(self, deep_supervision: bool = True):
@@ -326,13 +340,19 @@ class ContrastiveTrainer(MVDSegTrainer):
 
         def train_step(state: MVDTrainState, key, epoch, data, seg,
                        topo_match):
+            # batch contract: data (b, c, *patch) channels-first end to end
+            # (loader → augmentation → model); the channels-last view fed
+            # to the network cancels against its internal (B,C,*sp) entry
+            # transpose inside this jit
             k_aug, k_drop, k_mem, k_con = jax.random.split(key, 4)
             if self.topo_mode != "two_phase":
-                data, seg = augment_batch(k_aug, data, seg, aug_cfg)
+                data, seg = augment_batch(k_aug, data, seg, aug_cfg,
+                                          channels_first=True)
             # two_phase: the probe jit already augmented this batch (same
             # k_aug) and handed the augmented arrays back — they arrive
             # here as device-resident inputs, so augmentation runs ONCE
             # per step instead of twice (measured 591 ms at flagship scale)
+            data = jnp.moveaxis(data, 1, -1)
             seg = jnp.maximum(seg, 0)
             targets = downsample_seg_for_ds(seg, self._ds_scales())
 
@@ -389,6 +409,7 @@ class ContrastiveTrainer(MVDSegTrainer):
 
         def val_step(state: MVDTrainState, data, seg):
             seg = jnp.maximum(seg, 0)
+            data = jnp.moveaxis(data, 1, -1)  # (b,c,*sp) batch contract
             (out1, out2, *_), _ = forward(state.params, state.batch_stats,
                                           None, data.astype(jnp.bfloat16),
                                           False)
@@ -418,29 +439,36 @@ class ContrastiveTrainer(MVDSegTrainer):
             train jit does not augment a second time. The augmented arrays
             never leave the device; only the small pooled maps do."""
             k_aug, k_drop, _, _ = jax.random.split(key, 4)
-            data, seg = augment_batch(k_aug, data, seg, aug_cfg)
+            data, seg = augment_batch(k_aug, data, seg, aug_cfg,
+                                      channels_first=True)
             seg_nn = jnp.maximum(seg, 0)
             logits1, _ = network.apply(
                 {"params": params, "batch_stats": batch_stats},
-                data.astype(jnp.bfloat16), train=True,
+                jnp.moveaxis(data, 1, -1).astype(jnp.bfloat16), train=True,
                 rngs={"dropout": k_drop}, mutable=["batch_stats"],
                 method="forward_vessel1")
             p1v = vessel_prob(logits1)
             tgt = (seg_nn == vessel).astype(jnp.float32)
             return pool_batch(p1v), pool_batch(tgt), data, seg
 
+        # 'model'-axis tensor parallelism (see parallel/mesh.py): the dual
+        # net's large leaves (EPA projections, pos-embeds, decoder convs)
+        # shard over the model axis; GSPMD inserts the collectives
+        from ..parallel.mesh import tensor_parallel_shardings
+        state_sh = tensor_parallel_shardings(self.state, mesh)
         self._train_step_fn = jax.jit(
             train_step,
-            in_shardings=(rep, rep, rep, batch_sharding, batch_sharding,
+            in_shardings=(state_sh, rep, rep, batch_sharding, batch_sharding,
                           rep),
-            out_shardings=(rep, rep),
+            out_shardings=(state_sh, rep),
             donate_argnums=(0,))
         self._topo_probe_fn = jax.jit(
             topo_probe,
-            in_shardings=(rep, rep, rep, batch_sharding, batch_sharding),
+            in_shardings=(state_sh.params, state_sh.batch_stats, rep,
+                          batch_sharding, batch_sharding),
             out_shardings=(rep, rep, batch_sharding, batch_sharding))
         self._val_step_fn = jax.jit(
-            val_step, in_shardings=(rep, batch_sharding, batch_sharding),
+            val_step, in_shardings=(state_sh, batch_sharding, batch_sharding),
             out_shardings=rep)
         self._batch_sharding = batch_sharding
 
@@ -466,12 +494,71 @@ class ContrastiveTrainer(MVDSegTrainer):
         return match, aug_data, aug_seg
 
     def train_step(self, data, seg):
+        if self.topo_mode == "two_phase" and self.topo_pipeline:
+            return self._train_step_pipelined(data, seg)
         key = self._next_rng()
         match, data, seg = self._topo_match_for_batch(key, data, seg)
         self.state, metrics = self._train_step_fn(
             self.state, key,
             jnp.asarray(self.current_epoch, jnp.int32), data, seg, match)
         return metrics
+
+    # ------------------------------------------------- pipelined two-phase
+
+    def _train_step_pipelined(self, data, seg):
+        """One-deep pipelined two-phase step. Device queue per call:
+        probe(batch k, params k-1) then train(batch k-1, params k-1) —
+        both dispatched asynchronously, so the worker thread's pooled-map
+        fetch + persistence/matching for batch k executes concurrently
+        with the device's train step k-1. Returns the metrics of batch
+        k-1, or None on the priming call (run_training drains the tail
+        through flush_train_steps)."""
+        if self._match_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._match_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="topo_match")
+        key = self._next_rng()
+        # at entry self.state still holds the pre-update params (the train
+        # jit for the previous batch is dispatched below), so this probe
+        # reads params one step stale — and runs first in the device queue
+        pooled_pred, pooled_tgt, aug_data, aug_seg = self._topo_probe_fn(
+            self.state.params, self.state.batch_stats, key, data, seg)
+        if jax.default_backend() == "cpu":
+            # XLA:CPU runs each n-partition program's collectives as n
+            # rendezvous-ing threads from one shared pool; two programs in
+            # flight (probe k + train k-1, or probe k+1 + train k) starve
+            # each other's rendezvous and ABORT the process after a 40 s
+            # timeout (seen on the forced 8-device host platform with 1
+            # core — rendezvous.cc "only 2 of them arrived"). A real TPU's
+            # per-device execution queue serializes programs, so only CPU
+            # needs these barriers (here and in _run_pending); the
+            # host-matching overlap below is kept either way.
+            jax.block_until_ready(pooled_pred)
+        fut = self._match_pool.submit(
+            lambda p, t: topo_match_host(np.asarray(p), np.asarray(t),
+                                         self.topo_feat_d, self.topo_q,
+                                         self.topo_cap),
+            pooled_pred, pooled_tgt)
+        prev, self._pending_step = self._pending_step, {
+            "key": key, "epoch": self.current_epoch, "fut": fut,
+            "data": aug_data, "seg": aug_seg}
+        return self._run_pending(prev) if prev is not None else None
+
+    def _run_pending(self, p):
+        self.state, metrics = self._train_step_fn(
+            self.state, p["key"], jnp.asarray(p["epoch"], jnp.int32),
+            p["data"], p["seg"], p["fut"].result())
+        if jax.default_backend() == "cpu":
+            # keep at most ONE multi-partition program in flight on CPU —
+            # see the rendezvous-starvation note in _train_step_pipelined
+            jax.block_until_ready(metrics["loss"])
+        return metrics
+
+    def flush_train_steps(self):
+        if self._pending_step is None:
+            return []
+        p, self._pending_step = self._pending_step, None
+        return [self._run_pending(p)]
 
     def save_checkpoint(self, filename: str):
         if not self.is_main_process():

@@ -39,7 +39,7 @@ from ..data.sampler import PatchSampler, get_initial_patch_size
 from ..losses.compound import DC_and_CE_loss, DC_and_BCE_loss
 from ..losses.deep_supervision import DeepSupervisionWrapper, default_ds_weights
 from ..models.factory import get_network_from_plans
-from ..parallel.mesh import get_mesh
+from ..parallel.mesh import get_mesh, tensor_parallel_shardings
 from ..plans.label_handling import determine_num_input_channels
 from ..plans.plans_handler import PlansManager
 from ..utils.files import (join, isfile, load_json, maybe_mkdir_p, save_json)
@@ -109,8 +109,13 @@ class MVDSegTrainer:
         self.num_epochs = 1000
         self.current_epoch = 0
         self.save_every = 20  # checkpoint_latest cadence (reference :1053)
-        # data-parallel width (None = all visible devices)
+        # data-parallel width (None = all visible devices / n_model)
         self.n_data_parallel: Optional[int] = None
+        # tensor-parallel width over the mesh 'model' axis: params/optimizer
+        # sharded via parallel.mesh.tensor_parallel_shardings, activations
+        # partitioned by XLA's SPMD propagation (env MVDSEG_MODEL_PARALLEL)
+        self.n_model_parallel: int = int(
+            os.environ.get("MVDSEG_MODEL_PARALLEL", "1"))
         self.enable_deep_supervision = True
         self.grad_clip_norm = 12.0
 
@@ -258,7 +263,8 @@ class MVDSegTrainer:
         if self.was_initialized:
             return
         maybe_mkdir_p(self.output_folder)
-        self.mesh = get_mesh(n_data=self.n_data_parallel)
+        self.mesh = get_mesh(n_data=self.n_data_parallel,
+                             n_model=self.n_model_parallel)
         self.network = self.build_network_architecture(self.enable_deep_supervision)
         patch = tuple(self.configuration_manager.patch_size)
         self.tx = self._make_optimizer()
@@ -329,8 +335,14 @@ class MVDSegTrainer:
         aug_cfg = self.aug_cfg
 
         def train_step(state: TrainState, key, data, seg):
-            data, seg = augment_batch(key, data, seg, aug_cfg)
+            # batch contract: data (b, c, *patch) — channels-first end to
+            # end (loader → augmentation → model); the channels-last view
+            # below cancels against the model's internal (B,C,*sp) entry
+            # transpose inside this jit, so no relayout is materialized
+            data, seg = augment_batch(key, data, seg, aug_cfg,
+                                      channels_first=True)
             seg = jnp.maximum(seg, 0)  # RemoveLabelTransform(-1 → 0)
+            data = jnp.moveaxis(data, 1, -1)
 
             def loss_fn(params):
                 outputs = network.apply({"params": params},
@@ -346,6 +358,7 @@ class MVDSegTrainer:
 
         def val_step(state: TrainState, data, seg):
             seg = jnp.maximum(seg, 0)
+            data = jnp.moveaxis(data, 1, -1)  # (b,c,*sp) batch contract
             outputs = network.apply({"params": state.params},
                                     data.astype(jnp.bfloat16), train=False)
             out = outputs[0] if isinstance(outputs, (list, tuple)) else outputs
@@ -379,13 +392,17 @@ class MVDSegTrainer:
             fn = jnp.sum((1 - pred) * tgt, axes)
             return {"loss": loss, "tp": tp, "fp": fp, "fn": fn}
 
+        # 'model'-axis tensor parallelism: shard the train state's large
+        # leaves (GSPMD derives activation shardings + collectives);
+        # width 1 degenerates to full replication
+        state_sh = tensor_parallel_shardings(self.state, mesh)
         self._train_step_fn = jax.jit(
             train_step,
-            in_shardings=(rep, rep, batch_sharding, batch_sharding),
-            out_shardings=(rep, rep),
+            in_shardings=(state_sh, rep, batch_sharding, batch_sharding),
+            out_shardings=(state_sh, rep),
             donate_argnums=(0,))
         self._val_step_fn = jax.jit(
-            val_step, in_shardings=(rep, batch_sharding, batch_sharding),
+            val_step, in_shardings=(state_sh, batch_sharding, batch_sharding),
             out_shardings=rep)
         self._batch_sharding = batch_sharding
 
@@ -511,6 +528,13 @@ class MVDSegTrainer:
     def validation_step(self, data, seg):
         return self._val_step_fn(self.state, data, seg)
 
+    def flush_train_steps(self):
+        """Drain any steps a pipelining train_step still holds (list of
+        metrics dicts). The base trainer is synchronous: nothing to drain.
+        run_training calls this after the train loop of every epoch, so
+        validation/checkpointing always see the fully-updated state."""
+        return []
+
     def run_training(self):
         self.on_train_start()
         start_epoch = self.current_epoch
@@ -523,9 +547,14 @@ class MVDSegTrainer:
             for it in range(self.num_iterations_per_epoch):
                 data, seg = next(self.dataloader_train)
                 t_step = time.time()
+                # train_step may return None when the trainer pipelines
+                # steps (ContrastiveTrainer's two-phase topo overlap);
+                # flush_train_steps() drains the tail below so the epoch
+                # still accounts exactly num_iterations_per_epoch metrics
                 m = self.train_step(data, seg)
-                train_losses.append(m["loss"])
-                if epoch == start_epoch and it == 0:
+                if m is not None:
+                    train_losses.append(m["loss"])
+                if epoch == start_epoch and it == 0 and m is not None:
                     # surface the (possibly minutes-long) first-step jit
                     # compile — without this the log is silent from the
                     # fold split until the END of epoch 0
@@ -533,6 +562,8 @@ class MVDSegTrainer:
                     self.print_to_log_file(
                         f"first train step (incl. jit compile): "
                         f"{time.time() - t_step:.1f}s")
+            for m in self.flush_train_steps():
+                train_losses.append(m["loss"])
             train_loss = float(np.mean([jax.device_get(l) for l in train_losses]))
             self.logger.log("train_losses", train_loss, epoch)
 

@@ -77,13 +77,13 @@ class nnUNetTrainerBenchmark_5epochs_noDataLoading(
             bs = int(np.ceil(bs / n_data) * n_data)
         num_classes = self.label_manager.num_segmentation_heads
         data = jax.device_put(
-            rng.normal(size=(bs, *patch, self.num_input_channels))
+            rng.normal(size=(bs, self.num_input_channels, *patch))
             .astype(np.float32), self._batch_sharding)
         seg = jax.device_put(
             rng.randint(0, num_classes, (bs, *patch)).astype(np.int32),
             self._batch_sharding)
         vdata = jax.device_put(
-            rng.normal(size=(bs, *final, self.num_input_channels))
+            rng.normal(size=(bs, self.num_input_channels, *final))
             .astype(np.float32), self._batch_sharding)
         vseg = jax.device_put(
             rng.randint(0, num_classes, (bs, *final)).astype(np.int32),

@@ -1,0 +1,57 @@
+"""On-device augmentation pipeline: layout equivalence and semantics.
+
+The pipeline computes in channels-first internally (see data/augment.py
+module docstring — channels-last lane-pads c=2 to 128 on TPU); these tests
+pin the legacy channels-last entry to the channels-first one bitwise, and
+the no-op configuration to an exact center crop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_mvd_seg_tpu.data.augment import AugmentConfig, augment_batch
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rs = np.random.RandomState(3)
+    data = jnp.asarray(rs.normal(size=(2, 10, 12, 14, 3)), jnp.float32)
+    seg = jnp.asarray(rs.randint(-1, 3, (2, 10, 12, 14)), jnp.int32)
+    return data, seg
+
+
+def test_channels_first_matches_channels_last(batch):
+    data, seg = batch
+    cfg = AugmentConfig(patch_size=(8, 10, 12))
+    key = jax.random.PRNGKey(11)
+    d_cl, s_cl = augment_batch(key, data, seg, cfg)
+    d_cf, s_cf = augment_batch(key, jnp.moveaxis(data, -1, 1), seg, cfg,
+                               channels_first=True)
+    assert d_cl.shape == (2, 8, 10, 12, 3)
+    assert d_cf.shape == (2, 3, 8, 10, 12)
+    np.testing.assert_array_equal(np.asarray(s_cl), np.asarray(s_cf))
+    np.testing.assert_array_equal(np.asarray(d_cl),
+                                  np.moveaxis(np.asarray(d_cf), 1, -1))
+    assert bool(jnp.isfinite(d_cf).all())
+
+
+def test_noop_config_is_center_crop(batch):
+    data, seg = batch
+    cfg = AugmentConfig(patch_size=(8, 10, 12), p_rotation=0.0, p_scale=0.0,
+                        p_noise=0.0, p_blur=0.0, p_brightness=0.0,
+                        p_contrast=0.0, p_lowres=0.0, p_gamma=0.0,
+                        p_gamma_invert=0.0, mirror_axes=())
+    d, s = augment_batch(jax.random.PRNGKey(0), data, seg, cfg)
+    # center crop offsets: (in - out)//2 per axis = 1, 1, 1
+    ref = np.asarray(data)[:, 1:9, 1:11, 1:13]
+    np.testing.assert_allclose(np.asarray(d), ref, rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s),
+                                  np.asarray(seg)[:, 1:9, 1:11, 1:13])
+
+
+def test_seg_labels_preserved(batch):
+    data, seg = batch
+    cfg = AugmentConfig(patch_size=(8, 10, 12))
+    _, s = augment_batch(jax.random.PRNGKey(7), data, seg, cfg)
+    assert set(np.unique(np.asarray(s))) <= set(np.unique(np.asarray(seg)))

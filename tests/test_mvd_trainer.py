@@ -63,7 +63,7 @@ def _batch(trainer, seed=0):
              trainer.mesh.shape["data"])
     init_patch = tuple(trainer._initial_patch_size)
     data = jax.device_put(
-        rng.normal(size=(bs, *init_patch, 2)).astype(np.float32),
+        rng.normal(size=(bs, 2, *init_patch)).astype(np.float32),
         trainer._batch_sharding)
     seg = jax.device_put(
         rng.randint(0, 3, size=(bs, *init_patch)).astype(np.int32),
@@ -118,8 +118,8 @@ def test_two_phase_step_matches_callback_step(mvd_trainer):
         np.broadcast_to(shell, (bs, *init_patch)).copy(),
         trainer._batch_sharding)
     data = jax.device_put(
-        (rng_np.normal(size=(bs, *init_patch, 2)) +
-         shell[..., None]).astype(np.float32),
+        (rng_np.normal(size=(bs, 2, *init_patch)) +
+         shell).astype(np.float32),  # (d,h,w) broadcasts into (b,c,d,h,w)
         trainer._batch_sharding)
     trainer.current_epoch = 0
 
@@ -137,9 +137,23 @@ def test_two_phase_step_matches_callback_step(mvd_trainer):
     trainer.topo_mode = "two_phase"
     try:
         trainer._compile_steps()
+        trainer.topo_pipeline = False  # exact sequential schedule
         m_tp = jax.device_get(trainer.train_step(data, seg))
         params_tp = jax.device_get(trainer.state.params)
+
+        # pipelined replay of the same step: the priming call defers the
+        # train jit (returns None) and reads the SAME entry params in its
+        # probe, so after flush_train_steps the step must be identical
+        trainer.state = jax.device_put(start_state, rep)
+        trainer._rng = start_rng
+        trainer.topo_pipeline = True
+        assert trainer.train_step(data, seg) is None
+        flushed = trainer.flush_train_steps()
+        assert len(flushed) == 1 and trainer.flush_train_steps() == []
+        m_pl = jax.device_get(flushed[0])
+        params_pl = jax.device_get(trainer.state.params)
     finally:
+        trainer.topo_pipeline = True
         trainer.topo_mode = "callback"
         trainer._compile_steps()
 
@@ -148,6 +162,11 @@ def test_two_phase_step_matches_callback_step(mvd_trainer):
     assert m_tp["loss"] == pytest.approx(m_cb["loss"], rel=1e-4)
     for a, b in zip(jax.tree.leaves(params_cb), jax.tree.leaves(params_tp)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+    # pipelined == sequential two-phase (same compiled fns, same inputs)
+    assert m_pl["topo"] == pytest.approx(m_tp["topo"], rel=1e-6)
+    assert m_pl["loss"] == pytest.approx(m_tp["loss"], rel=1e-6)
+    for a, b in zip(jax.tree.leaves(params_tp), jax.tree.leaves(params_pl)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
 def test_mvd_checkpoint_roundtrip(mvd_trainer, tmp_path):
@@ -172,7 +191,7 @@ def test_mvd_val_step_and_registry(mvd_trainer):
     bs = data.shape[0]
     rng = np.random.RandomState(2)
     vdata = jax.device_put(
-        rng.normal(size=(bs, *PATCH, 2)).astype(np.float32),
+        rng.normal(size=(bs, 2, *PATCH)).astype(np.float32),
         trainer._batch_sharding)
     vseg = jax.device_put(
         rng.randint(0, 3, size=(bs, *PATCH)).astype(np.int32),

@@ -76,7 +76,7 @@ def test_variant_train_step(tmp_path, variant):
     rng = np.random.RandomState(0)
     bs = max(t.configuration_manager.batch_size, 2)
     init_patch = tuple(t._initial_patch_size)
-    data = jax.device_put(rng.normal(size=(bs, *init_patch, 2))
+    data = jax.device_put(rng.normal(size=(bs, 2, *init_patch))
                           .astype(np.float32), t._batch_sharding)
     seg = jax.device_put(rng.randint(0, 3, (bs, *init_patch))
                          .astype(np.int32), t._batch_sharding)
