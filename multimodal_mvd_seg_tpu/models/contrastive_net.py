@@ -83,6 +83,12 @@ class ContrastiveNet(nn.Module):
     # (2,2,2) lift them to C=128 cell convs. Pass None (the factory does
     # this for non-divisible patches) to use plain channels-first blocks.
     s2d_factors: Optional[Sequence[int]] = (2, 2, 2)
+    # cell layout of those s2d stages: "NC" = (B, C*F, *cells), "NL" =
+    # (B, *cells, C*F) — the TPU conv's native layout (C*F = 128 pads
+    # nothing there). The stem ENTERS in NC regardless (its s2d input has
+    # C*F = 8, which channels-last would lane-pad 16x); in NL the seg
+    # heads emit channels-last logits directly (no full-res relayout).
+    s2d_layout: str = "NC"
 
     def setup(self):
         fs = self.feature_size
@@ -98,11 +104,15 @@ class ContrastiveNet(nn.Module):
                                   proj_size=proj, num_heads=self.num_heads,
                                   conv_decoder=conv_decoder,
                                   s2d_factors=s2d, remat=self.remat,
+                                  s2d_layout=self.s2d_layout,
                                   dtype=self.dtype)
 
         sf = None if self.s2d_factors is None else tuple(self.s2d_factors)
-        # full-resolution stem on the T2 channel
+        # full-resolution stem on the T2 channel (enters NC — see
+        # s2d_layout note — and leaves in the stage layout)
         self.encoder1 = UnetResBlockCF(fs, kernel_size=3, s2d_factors=sf,
+                                       s2d_layout=self.s2d_layout,
+                                       s2d_layout_in="NC",
                                        dtype=self.dtype)
 
         # branch 1 (T2): 256 → 128 → 64 → 32 → 16
@@ -116,8 +126,10 @@ class ContrastiveNet(nn.Module):
         self.decoder3_ = up(fs * 2, (2, 2, 2))
         self.decoder2_ = up(fs, (2, 2, 2), conv_decoder=True, s2d=sf)
 
-        self.out1 = UnetOutBlockCF(self.num_classes, s2d_factors=sf)
-        self.out1_ = UnetOutBlockCF(self.num_classes, s2d_factors=sf)
+        self.out1 = UnetOutBlockCF(self.num_classes, s2d_factors=sf,
+                                   s2d_layout=self.s2d_layout)
+        self.out1_ = UnetOutBlockCF(self.num_classes, s2d_factors=sf,
+                                    s2d_layout=self.s2d_layout)
         if self.do_ds:
             self.out2 = UnetOutBlockCF(self.num_classes)
             self.out3 = UnetOutBlockCF(self.num_classes)
@@ -167,15 +179,24 @@ class ContrastiveNet(nn.Module):
         def cl(t):  # channels-first fp32 logits -> channels-last
             return jnp.moveaxis(t, 1, -1)
 
+        nl = sf is not None and self.s2d_layout == "NL"
+        # in NL the full-res heads/features come out channels-last already
+        cl1 = (lambda t: t) if nl else cl
+
+        def full_res_fea(t):
+            if sf is None:
+                return cl(t)
+            if nl:
+                return _s2d.depth_to_space_cl(t, sf)
+            return cl(_s2d.depth_to_space(t, sf))
+
         if self.do_ds:
-            logits = [cl(self.out1(out)), cl(self.out2(dec1)),
+            logits = [cl1(self.out1(out)), cl(self.out2(dec1)),
                       cl(self.out3(dec2))]
-            logits_ = [cl(self.out1_(out_)), cl(self.out2_(dec1_)),
+            logits_ = [cl1(self.out1_(out_)), cl(self.out2_(dec1_)),
                        cl(self.out3_(dec2_))]
-            fea = out if sf is None else _s2d.depth_to_space(out, sf)
-            fea_ = out_ if sf is None else _s2d.depth_to_space(out_, sf)
-            return logits, logits_, cl(fea), cl(fea_)
-        return cl(self.out1(out))
+            return logits, logits_, full_res_fea(out), full_res_fea(out_)
+        return cl1(self.out1(out))
 
     def forward_vessel1(self, data, *, train: bool = True):
         """Branch-1 full-resolution logits only — the two-phase topological
@@ -199,7 +220,10 @@ class ContrastiveNet(nn.Module):
         dec2 = self.decoder4(dec3, enc2, train=train)
         dec1 = self.decoder3(dec2, enc1, train=train)
         out = self.decoder2(dec1, stem, train=train)
-        return jnp.moveaxis(self.out1(out), 1, -1)
+        logits = self.out1(out)
+        if sf is not None and self.s2d_layout == "NL":
+            return logits  # channels-last already (see UnetOutBlockCF)
+        return jnp.moveaxis(logits, 1, -1)
 
     def init_all(self, data, *, train: bool = False):
         """Initialization entry point: traces the dual forward AND every

@@ -90,6 +90,7 @@ def get_dual_network_from_plans(plans_manager: PlansManager,
     (feature_size=16, num_heads=4, InstanceNorm+LeakyReLU, do_ds from
     deep_supervision). Patch sizes must be divisible by the encoder's total
     downsampling (16, 32, 32) — the MVD plan's 64×128×256 patch is."""
+    import os
     from .contrastive_net import ContrastiveNet
     label_manager = plans_manager.get_label_manager(dataset_json)
     patch = configuration_manager.patch_size
@@ -103,6 +104,8 @@ def get_dual_network_from_plans(plans_manager: PlansManager,
         num_heads=4,
         do_ds=deep_supervision,
         s2d_factors=s2d,
+        # cell layout of the s2d stages (A/B-able without code changes)
+        s2d_layout=os.environ.get("MVDSEG_MVD_S2D_LAYOUT", "NC"),
     )
 
 

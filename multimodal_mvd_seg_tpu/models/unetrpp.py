@@ -325,6 +325,7 @@ class _InstanceNormActCF(nn.Module):
     features: int
     act: bool = False
     rep: tuple = None  # s2d rep; None = plain channels-first
+    layout: str = "NC"  # cell layout when rep is set (ops/s2d.py)
 
     @nn.compact
     def __call__(self, x):
@@ -334,19 +335,30 @@ class _InstanceNormActCF(nn.Module):
                           jnp.float32)
         if self.rep is not None:
             return _s2d.masked_instance_norm_act(x, self.rep, scale, bias,
-                                                 act=self.act)
+                                                 act=self.act,
+                                                 layout=self.layout)
         return instance_norm_act_cf(x, act=self.act, scale=scale, bias=bias)
 
 
 class UnetResBlockCF(nn.Module):
     """UnetResBlock on channels-first tensors; optional s2d execution
-    (s2d_rep != None: input/output at that phase-0 rep, stride must be 1)."""
+    (s2d_rep != None: input/output at that phase-0 rep, stride must be 1).
+
+    ``s2d_layout`` picks the cell layout of the s2d execution ("NC"/"NL",
+    ops/s2d.py); ``s2d_layout_in`` is the layout the INPUT arrives in
+    (defaults to the stage layout — pass "NC" for a stem whose s2d input
+    has a tiny C*F that would lane-pad channels-last). When the layouts
+    differ and no shortcut conv exists (cin == features), the residual
+    input is relayouted once; with a shortcut conv the layout change rides
+    inside conv3 for free."""
     features: int
     kernel_size: int = 3
     stride: int = 1
     norm: str = "instance"
     s2d_factors: Optional[Tuple[int, ...]] = None
     dtype: jnp.dtype = jnp.bfloat16
+    s2d_layout: str = "NC"
+    s2d_layout_in: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -355,7 +367,7 @@ class UnetResBlockCF(nn.Module):
         s = (self.stride,) * dim
         f = self.features
 
-        def norm(name, y, act, rep=None):
+        def norm(name, y, act, rep=None, layout="NC"):
             if self.norm == "batch":
                 y = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
                                  momentum=0.9, axis=1, dtype=jnp.float32,
@@ -363,24 +375,31 @@ class UnetResBlockCF(nn.Module):
                 if act:
                     y = nn.leaky_relu(y.astype(jnp.float32), 0.01)
                 return y.astype(self.dtype)
-            return _InstanceNormActCF(f, act=act, rep=rep, name=name)(y)
+            return _InstanceNormActCF(f, act=act, rep=rep, layout=layout,
+                                      name=name)(y)
 
         if self.s2d_factors is not None:
             assert self.stride == 1 and self.norm == "instance"
             rep0 = _s2d.rep_of(self.s2d_factors)
             rep1 = _s2d.phase_up(rep0)
             F = _s2d.rep_F(rep0)
-            cin = x.shape[1] // F
+            lay = self.s2d_layout
+            li = self.s2d_layout_in or lay
+            caxis = 1 if li == "NC" else -1
+            cin = x.shape[caxis] // F
             y = CellConv(f, k, s, rep0, rep1, dtype=self.dtype,
-                         name="conv1")(x)
-            y = norm("norm1", y, act=True, rep=rep1)
+                         layout_in=li, layout_out=lay, name="conv1")(x)
+            y = norm("norm1", y, act=True, rep=rep1, layout=lay)
             y = CellConv(f, k, s, rep1, rep0, dtype=self.dtype,
-                         name="conv2")(y)
-            y = norm("norm2", y, act=False, rep=rep0)
+                         layout_in=lay, layout_out=lay, name="conv2")(y)
+            y = norm("norm2", y, act=False, rep=rep0, layout=lay)
             if cin != f:
                 x = CellConv(f, (1,) * dim, s, rep0, rep0, dtype=self.dtype,
-                             name="conv3")(x)
-                x = norm("norm3", x, act=False, rep=rep0)
+                             layout_in=li, layout_out=lay, name="conv3")(x)
+                x = norm("norm3", x, act=False, rep=rep0, layout=lay)
+            elif li != lay:
+                x = jnp.moveaxis(x, -1, 1) if li == "NL" \
+                    else jnp.moveaxis(x, 1, -1)
             return nn.leaky_relu(y.astype(jnp.float32)
                                  + x.astype(jnp.float32),
                                  0.01).astype(self.dtype)
@@ -577,15 +596,22 @@ class UnetrUpBlockCF(nn.Module):
     s2d_factors: Optional[Tuple[int, ...]] = None
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    s2d_layout: str = "NC"  # cell layout of the s2d stage; the skip must
+    #                         already arrive in this layout
 
     @nn.compact
     def __call__(self, x, skip, *, train: bool = True):
         s = tuple(self.upsample_stride)
         dim = len(s)
         if self.s2d_factors is not None:
+            # x arrives in the NORMAL domain (previous decoder stage,
+            # C small) — always channels-first there; the layout change
+            # to the stage's cell layout rides inside the transpose conv
             x = ConvTransposeS2D(self.out_channels, s, s,
                                  (1,) * dim, tuple(self.s2d_factors),
-                                 dtype=self.dtype, name="transp_conv")(x)
+                                 dtype=self.dtype, layout_in="NC",
+                                 layout_out=self.s2d_layout,
+                                 name="transp_conv")(x)
         else:
             x = ConvTransposeCF(self.out_channels, s, s, dtype=self.dtype,
                                 name="transp_conv")(x)
@@ -597,6 +623,7 @@ class UnetrUpBlockCF(nn.Module):
         if self.conv_decoder:
             x = res_cls(self.out_channels, self.kernel_size, norm=self.norm,
                         s2d_factors=self.s2d_factors, dtype=self.dtype,
+                        s2d_layout=self.s2d_layout,
                         name="decoder_block")(x, train)
         else:
             for j in range(self.depth):
@@ -609,18 +636,29 @@ class UnetrUpBlockCF(nn.Module):
 
 class UnetOutBlockCF(nn.Module):
     """1x1 segmentation head on (B, C, *sp) (or an s2d rep; output is
-    depth-to-spaced back). Logits fp32, channels-first."""
+    depth-to-spaced back). Logits fp32.
+
+    Output layout: channels-first — except in the "NL" cell layout, where
+    the logits come out CHANNELS-LAST ((B, *sp, classes), via
+    depth_to_space_cl): forcing them back to channels-first would
+    materialize the full-res relayout copy the NL execution exists to
+    avoid, and every consumer wants channels-last anyway."""
     num_classes: int
     s2d_factors: Optional[Tuple[int, ...]] = None
+    s2d_layout: str = "NC"
 
     @nn.compact
     def __call__(self, x):
-        dim = x.ndim - 2
         if self.s2d_factors is not None:
+            dim = len(self.s2d_factors)
             rep = _s2d.rep_of(self.s2d_factors)
+            lay = self.s2d_layout
             y = CellConv(self.num_classes, (1,) * dim, (1,) * dim, rep, rep,
-                         dtype=jnp.float32, name="conv")(
-                x.astype(jnp.float32))
+                         dtype=jnp.float32, layout_in=lay, layout_out=lay,
+                         name="conv")(x.astype(jnp.float32))
+            if lay == "NL":
+                return _s2d.depth_to_space_cl(y, self.s2d_factors)
             return _s2d.depth_to_space(y, self.s2d_factors)
+        dim = x.ndim - 2
         return ConvCF(self.num_classes, (1,) * dim, (1,) * dim,
                       dtype=jnp.float32, name="conv")(x.astype(jnp.float32))

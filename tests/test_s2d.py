@@ -263,3 +263,37 @@ def test_concat_free_skip_fusion_matches_concat():
     o_cat = blk.apply(params, jnp.concatenate([a, b], axis=1), train=True)
     o_tup = blk.apply(params, (a, b), train=True)
     assert _rel_err(o_cat, o_tup) < 1e-5
+
+
+def test_contrastive_net_s2d_layout_nl_matches_nc():
+    """The MVD dual net's s2d_layout='NL' execution must produce the same
+    dual logits/features as NC from the SAME parameter tree. In NL the
+    full-res heads emit channels-last directly (UnetOutBlockCF), so both
+    modes compare in the channels-last contract the trainers consume."""
+    from multimodal_mvd_seg_tpu.models.contrastive_net import ContrastiveNet
+    kw = dict(input_channels=2, num_classes=3, feature_size=16,
+              depths=(1, 1, 1, 1), do_ds=True, remat=False,
+              dtype=jnp.float32, s2d_factors=(2, 2, 2))
+    net_nc = ContrastiveNet(**kw)
+    net_nl = ContrastiveNet(**kw, s2d_layout="NL")
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 32, 32, 2),
+                    jnp.float32)
+    params = jax.jit(net_nc.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    o_nc = jax.jit(net_nc.apply, static_argnames="train")(
+        params, x, train=False)
+    o_nl = jax.jit(net_nl.apply, static_argnames="train")(
+        params, x, train=False)
+    flat_nc, flat_nl = jax.tree.leaves(o_nc), jax.tree.leaves(o_nl)
+    assert len(flat_nc) == len(flat_nl) == 8  # 3+3 DS logits + 2 features
+    for a, b in zip(flat_nc, flat_nl):
+        assert a.shape == b.shape
+        assert _rel_err(a, b) < 2e-5
+
+    # the probe forward (two-phase topo) takes the same layout knob
+    v_nc = jax.jit(net_nc.apply, static_argnames=("train", "method"))(
+        params, x, train=False, method="forward_vessel1")
+    v_nl = jax.jit(net_nl.apply, static_argnames=("train", "method"))(
+        params, x, train=False, method="forward_vessel1")
+    assert v_nc.shape == v_nl.shape
+    assert _rel_err(v_nc, v_nl) < 2e-5
