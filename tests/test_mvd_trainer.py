@@ -265,3 +265,18 @@ def test_predictor_restores_batch_stats(tmp_path):
     pred.initialize_from_trained_model_folder(str(mdir), use_folds=(0,))
     entry = pred.params_list[0]
     assert "params" in entry and "batch_stats" in entry
+
+
+def test_mvd_train_step_nl_layout(tmp_path):
+    """One compiled ContrastiveTrainer step with the NL (channels-last)
+    cell layout (MVDSEG_MVD_S2D_LAYOUT analog): integration check that the
+    trainer's loss paths consume the NL net's channels-last heads/features
+    and produce a finite loss."""
+    import __graft_entry__ as ge
+    trainer = ge.make_tiny_mvd_trainer(2, patch=PATCH, topo_cap=64,
+                                       s2d_layout="NL")
+    trainer.initialize()
+    data, seg = _batch(trainer)
+    trainer.current_epoch = 0
+    m = trainer.train_step(data, seg)
+    assert np.isfinite(float(jax.device_get(m["loss"])))
