@@ -138,7 +138,11 @@ def topo_loss_from_match(pred: jnp.ndarray, match: dict, q: float = 2.0
                             -1) ** q
         diag_cost = (jnp.abs(d - b) / 2.0) ** q
         cost = jnp.where(valid, jnp.where(diag, diag_cost, pair_cost), 0.0)
-        return (cost.sum() + const) ** (1.0 / q)
+        total = cost.sum() + const
+        # same zero-total gradient guard as ops/wasserstein.py:
+        # d(x^(1/q))/dx → ∞ at x = 0 (empty diagrams ⇒ NaN grads)
+        safe = jnp.maximum(total, 1e-12) ** (1.0 / q)
+        return jnp.where(total > 0, safe, 0.0)
 
     return jax.vmap(one)(pred, match["b_idx"], match["d_idx"],
                          match["partner"], match["diag"], match["valid"],

@@ -100,4 +100,10 @@ def wasserstein_distance(birth1, death1, mask1, birth2, death2, mask2,
     diag2_cost = (jnp.abs(d2[:, 1] - d2[:, 0]) / 2.0) ** q
     cost2 = jnp.where(match2 == -1, diag2_cost, 0.0)
     total = cost1.sum() + cost2.sum()
-    return total ** (1.0 / q)
+    # total**(1/q) has an infinite derivative at 0 (d√x/dx = 1/(2√x)); an
+    # empty pair of diagrams (no valid bars, no unmatched target bars —
+    # e.g. a vessel-free batch against a constant pooled prediction) would
+    # inject NaN into every gradient. Clamp the base; zero the value (and
+    # thereby the branch's gradient) when the true total is zero.
+    safe = jnp.maximum(total, 1e-12) ** (1.0 / q)
+    return jnp.where(total > 0, safe, 0.0)

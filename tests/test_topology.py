@@ -276,3 +276,28 @@ def test_nips_critical_point_loss():
     lj = float(jax.jit(lambda p, t: topo_critical_point_loss(
         p, t, topo_size=64))(jnp.asarray(pred), jnp.asarray(gt)))
     assert lj == pytest.approx(l_miss, abs=1e-4)
+
+
+def test_topo_loss_zero_total_has_finite_grad():
+    """Empty diagrams on both sides (constant prediction, empty target —
+    e.g. a vessel-free batch) make the q-Wasserstein total exactly 0;
+    total**(1/q) has an infinite derivative there. Both execution paths
+    must return 0 with FINITE (zero) gradients."""
+    from multimodal_mvd_seg_tpu.losses.topo import (
+        topo_wasserstein, topo_loss_from_match, topo_match_host)
+
+    pred = jnp.full((1, 8, 8, 8), 0.5, jnp.float32)   # constant -> no bars
+    tgt = jnp.zeros((1, 8, 8, 8), jnp.float32)        # empty -> no bars
+
+    # callback path
+    val, grad = jax.value_and_grad(
+        lambda p: topo_wasserstein(p, tgt, topo_dim=2, cap=16))(pred)
+    assert float(val) == 0.0
+    assert np.isfinite(np.asarray(grad)).all()
+
+    # two-phase path
+    match = topo_match_host(np.asarray(pred), np.asarray(tgt), 2, 2.0, 16)
+    val2, grad2 = jax.value_and_grad(
+        lambda p: topo_loss_from_match(p, match))(pred)
+    assert float(val2) == 0.0
+    assert np.isfinite(np.asarray(grad2)).all()
