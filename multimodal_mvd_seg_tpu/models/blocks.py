@@ -83,12 +83,30 @@ class ConvTransposeCF(nn.Module):
             "SAME", dimension_numbers=dn)
 
 
+def _norm_impl() -> str:
+    """Which instance-norm implementation to trace (read per trace so the
+    perf campaign can A/B without re-importing):
+
+    - "vjp" (default): ops/norm_vjp.py — hand-written VJP; saves only the
+      bf16 input + (B, C) stats, backward is two bf16-read fusions. No
+      jax.checkpoint boundary, so XLA inserts no canonical-layout f32
+      copies around the norm (the biggest removable byte source found by
+      the offline HLO attribution of the round-1 step).
+    - "xla": the original jnp formulation below under jax.checkpoint.
+    """
+    import os
+    return os.environ.get("MVDSEG_NORM_IMPL", "vjp")
+
+
 def instance_norm_act_cf(x, act: bool = True,
                          scale=None, bias=None) -> jnp.ndarray:
     """Instance norm (+ leaky relu) over the spatial axes of (B, C, *sp),
     fp32 statistics, output in the input dtype.
 
-    Written as two fused reductions (E[x], E[x^2]) + one elementwise pass
+    Default execution is the custom-VJP form (ops/norm_vjp.py, numerics
+    bit-identical forward, textbook gradient — pinned against autodiff in
+    tests/test_norm_vjp.py). The "xla" fallback below is kept for A/B:
+    written as two fused reductions (E[x], E[x^2]) + one elementwise pass
     ``y = x*a + b`` with per-(B,C) coefficients: the naive
     ``(x - mean) * rsqrt(var)`` form makes XLA materialize full-size f32
     broadcasts of the keepdims stats and an f32 copy of x between the
@@ -96,6 +114,9 @@ def instance_norm_act_cf(x, act: bool = True,
     broadcast HBM traffic per norm at the full-res stages (see
     batch_running/hlo_bytes.py). a/b are tiny (B, C) tensors, so the
     elementwise pass reads only bf16 x and writes bf16 y."""
+    if _norm_impl() == "vjp":
+        from ..ops.norm_vjp import instance_norm_act
+        return instance_norm_act(x, scale=scale, bias=bias, act=act)
     axes = tuple(range(2, x.ndim))
     xf = x.astype(jnp.float32)
     m = xf.mean(axis=axes)                      # (B, C)
@@ -139,6 +160,12 @@ class ConvNormActCF(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
 
+        if _norm_impl() == "vjp":
+            # the custom VJP already saves only (x, stats) — no checkpoint
+            # boundary needed (and none wanted: its canonical-layout copies
+            # are what the VJP form removes).
+            return instance_norm_act_cf(x, act=self.act, scale=scale,
+                                        bias=bias)
         norm = jax.checkpoint(
             lambda t, s, b: instance_norm_act_cf(t, act=self.act, scale=s,
                                                  bias=b))
@@ -356,6 +383,9 @@ class ConvNormActS2D(nn.Module):
                           jnp.float32)
         rep = self.rep_out
         lo = self.layout_out
+        if _norm_impl() == "vjp":
+            return _s2d.masked_instance_norm_act(x, rep, scale, bias,
+                                                 act=self.act, layout=lo)
         norm = jax.checkpoint(
             lambda t, s, b: _s2d.masked_instance_norm_act(
                 t, rep, s, b, act=self.act, layout=lo))
@@ -389,7 +419,8 @@ class StackedConvBlocksS2D(nn.Module):
         stage_rep = _s2d.rep_of(self.factors)
         in_rep = _s2d.rep_of(self.in_factors)
         factored = any(f > 1 for f in self.factors)
-        if factored:
+        zero_phase = _s2d.phase_mode() == "zero"
+        if factored and not zero_phase:
             assert self.n_convs % 2 == 0, \
                 "s2d stages need an even conv count"
         stage_layout = self.layout if factored else "NC"
@@ -397,7 +428,7 @@ class StackedConvBlocksS2D(nn.Module):
         li = self.layout_in
         for i in range(self.n_convs):
             stride = self.first_stride if i == 0 else (1,) * dim
-            if factored:
+            if factored and not zero_phase:
                 rep_out = _s2d.phase_up(stage_rep) if i % 2 == 0 \
                     else stage_rep
             else:

@@ -381,7 +381,8 @@ class UnetResBlockCF(nn.Module):
         if self.s2d_factors is not None:
             assert self.stride == 1 and self.norm == "instance"
             rep0 = _s2d.rep_of(self.s2d_factors)
-            rep1 = _s2d.phase_up(rep0)
+            rep1 = rep0 if _s2d.phase_mode() == "zero" \
+                else _s2d.phase_up(rep0)
             F = _s2d.rep_F(rep0)
             lay = self.s2d_layout
             li = self.s2d_layout_in or lay

@@ -67,6 +67,26 @@ def phase_up(rep: Rep) -> Rep:
                  for f, p in rep)
 
 
+def phase_mode() -> str:
+    """How stride-1 kernel-3 conv pairs traverse the cell domain
+    (read per trace; A/B knob for the perf campaign):
+
+    - "shift" (default): half-cell phase shift — conv 1 lands phase-up
+      (one extra cell per factored axis, odd array dims, artifact rows to
+      mask), conv 2 lands back on phase 0. K_cell = 2 per factored axis,
+      75% weight density.
+    - "zero": both convs stay phase-0 (the axis algebra solves with
+      K_cell = 3 per factored axis at 50% density). 1.5x the raw MXU
+      flops per factored axis, but every array keeps even, tile-aligned
+      dims — no artifact masks, no odd-dim relayout copies around the
+      convs, and the cell conv takes the (C>=128, 27-tap) shape XLA runs
+      fastest. Whether the flops or the bytes win is an empirical,
+      per-factors question — measure before flipping the default.
+    """
+    import os
+    return os.environ.get("MVDSEG_S2D_PHASE", "shift")
+
+
 # ---------------------------------------------------------------------------
 # axis solver
 # ---------------------------------------------------------------------------
@@ -320,7 +340,16 @@ def masked_instance_norm_act(x: jnp.ndarray, rep: Rep, scale, bias,
     excluded (they are zeroed and the count corrected). Matches
     blocks.instance_norm_act_cf numerics on the logical tensor.
 
-    layout "NC": x (B, C*F, *cells).  layout "NL": x (B, *cells, C*F)."""
+    layout "NC": x (B, C*F, *cells).  layout "NL": x (B, *cells, C*F).
+
+    Default execution is the custom-VJP form (ops/norm_vjp.py; same
+    forward numerics, hand-written backward that keeps f32 off HBM); set
+    MVDSEG_NORM_IMPL=xla for the original autodiff formulation below."""
+    import os
+    if os.environ.get("MVDSEG_NORM_IMPL", "vjp") == "vjp":
+        from .norm_vjp import instance_norm_act
+        return instance_norm_act(x, rep=tuple(rep), layout=layout,
+                                 scale=scale, bias=bias, act=act)
     nl = layout == "NL"
     B = x.shape[0]
     CF = x.shape[-1] if nl else x.shape[1]

@@ -297,3 +297,69 @@ def test_contrastive_net_s2d_layout_nl_matches_nc():
         params, x, train=False, method="forward_vessel1")
     assert v_nc.shape == v_nl.shape
     assert _rel_err(v_nc, v_nl) < 2e-5
+
+
+@pytest.mark.parametrize("f", FACTORS)
+def test_zero_phase_stride1_pair(data, f, monkeypatch):
+    """MVDSEG_S2D_PHASE=zero: a stride-1 kernel-3 conv pair expressed as
+    two phase-0 -> phase-0 cell convs (K_cell=3 per factored axis) equals
+    the plain conv pair — no phase-up arrays, no artifact masks."""
+    rs, x = data
+    rep = s2d.rep_of(f)
+    w1 = jnp.asarray(rs.randn(8, 3, 3, 3, 3) * 0.2, jnp.float32)
+    w2 = jnp.asarray(rs.randn(8, 8, 3, 3, 3) * 0.2, jnp.float32)
+    ref = plain_conv(plain_conv(x, w1), w2)
+
+    xc = s2d.space_to_depth(x, f)
+    spec1 = s2d.CellConvSpec((3, 3, 3), (1, 1, 1), rep, rep, xc.shape[2:])
+    spec2 = s2d.CellConvSpec((3, 3, 3), (1, 1, 1), rep, rep, xc.shape[2:])
+    assert spec1.K_cell == tuple(3 for _ in f)  # K=3 on every axis
+    y = spec2(spec1(xc, w1), w2)
+    out = s2d.depth_to_space(y, f)
+    assert _rel_err(out, ref) < 1e-5
+
+
+def test_unet_s2d_zero_phase_equivalence(monkeypatch):
+    """The full s2d U-Net under MVDSEG_S2D_PHASE=zero matches the plain
+    execution (same param tree, same outputs)."""
+    monkeypatch.setenv("MVDSEG_S2D_PHASE", "zero")
+    kw = dict(features_per_stage=[8, 16, 32, 64],
+              n_conv_per_stage_encoder=[2] * 4,
+              n_conv_per_stage_decoder=[2] * 3,
+              kernel_sizes=[[3, 3, 3]] * 4,
+              strides=[[1, 1, 1], [2, 2, 2], [2, 2, 2], [1, 2, 2]],
+              num_classes=3, deep_supervision=True, dtype=jnp.float32,
+              seg_dtype=jnp.float32)
+    from multimodal_mvd_seg_tpu.models.unet import PlainConvUNetCF
+    net0 = PlainConvUNetCF(**kw)
+
+    net2 = PlainConvUNetCF(**kw, s2d_stages=2, s2d_factors=(1, 2, 2))
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 16, 32, 32, 2),
+                    jnp.float32)
+    p0 = jax.jit(lambda r, t: net0.init(r, t, train=False))(
+        jax.random.PRNGKey(0), x)["params"]
+    p2 = jax.jit(lambda r, t: net2.init(r, t, train=False))(
+        jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(p0) == jax.tree.structure(p2)
+    o0 = net0.apply({"params": p0}, x, train=True)
+    o2 = net2.apply({"params": p0}, x, train=True)
+    for a, b in zip(o0, o2):
+        assert _rel_err(a, b) < 1e-4
+
+
+def test_unetrpp_block_zero_phase(monkeypatch):
+    """UnetResBlockCF (the MVD flagship's conv block) under zero-phase s2d
+    matches its plain channels-first execution."""
+    from multimodal_mvd_seg_tpu.models.unetrpp import UnetResBlockCF
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(1, 8, 4, 4, 8), jnp.float32)
+    plain = UnetResBlockCF(8, dtype=jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    ref = plain.apply(params, x)
+    monkeypatch.setenv("MVDSEG_S2D_PHASE", "zero")
+    s2dnet = UnetResBlockCF(8, s2d_factors=(2, 2, 2), dtype=jnp.float32)
+    xc = s2d.space_to_depth(x, (2, 2, 2))
+    p2 = s2dnet.init(jax.random.PRNGKey(0), xc)
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+    out = s2d.depth_to_space(s2dnet.apply(params, xc), (2, 2, 2))
+    assert _rel_err(out, ref) < 1e-4
