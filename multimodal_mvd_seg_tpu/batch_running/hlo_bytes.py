@@ -141,18 +141,24 @@ def main():
     ap.add_argument("--computation", default=None,
                     help="also rank a named non-entry computation "
                          "(e.g. a while body)")
+    ap.add_argument("--file", default=None,
+                    help="rank a saved HLO text dump offline (no chip "
+                         "needed) instead of compiling the bench step")
     args = ap.parse_args()
 
-    import jax
-    step, step_args = _build_bench_step()
-    lowered = jax.jit(step).lower(*step_args)
-    compiled = lowered.compile()
-    txt = compiled.as_text()
-    ca = compiled.cost_analysis()
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0]
-    print(f"cost_analysis: {ca.get('flops', 0)/1e12:.2f} TFLOP, "
-          f"{ca.get('bytes accessed', 0)/1e9:.1f} GB counted")
+    if args.file:
+        txt = open(args.file).read()
+    else:
+        import jax
+        step, step_args = _build_bench_step()
+        lowered = jax.jit(step).lower(*step_args)
+        compiled = lowered.compile()
+        txt = compiled.as_text()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        print(f"cost_analysis: {ca.get('flops', 0)/1e12:.2f} TFLOP, "
+              f"{ca.get('bytes accessed', 0)/1e9:.1f} GB counted")
 
     rows, total, by_opcode = rank_entry_instructions(txt, args.top)
     print(f"\nstatic operand+result bytes over entry instructions: "

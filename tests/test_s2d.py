@@ -363,3 +363,25 @@ def test_unetrpp_block_zero_phase(monkeypatch):
     assert jax.tree.structure(params) == jax.tree.structure(p2)
     out = s2d.depth_to_space(s2dnet.apply(params, xc), (2, 2, 2))
     assert _rel_err(out, ref) < 1e-4
+
+
+def test_contrastive_net_zero_phase_matches_default(monkeypatch):
+    """The MVD dual net under MVDSEG_S2D_PHASE=zero produces the same
+    outputs as the default phase-shift execution, same parameter tree."""
+    from multimodal_mvd_seg_tpu.models.contrastive_net import ContrastiveNet
+    kw = dict(input_channels=2, num_classes=3, feature_size=16,
+              depths=(1, 1, 1, 1), do_ds=True, remat=False,
+              dtype=jnp.float32, s2d_factors=(2, 2, 2))
+    net = ContrastiveNet(**kw)
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 16, 32, 32, 2),
+                    jnp.float32)
+    params = jax.jit(net.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    o_ref = jax.jit(net.apply, static_argnames="train")(
+        params, x, train=False)
+    monkeypatch.setenv("MVDSEG_S2D_PHASE", "zero")
+    o_zero = jax.jit(net.apply, static_argnames="train")(
+        params, x, train=False)
+    for a, b in zip(jax.tree.leaves(o_ref), jax.tree.leaves(o_zero)):
+        assert a.shape == b.shape
+        assert _rel_err(a, b) < 2e-5
