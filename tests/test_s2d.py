@@ -385,3 +385,31 @@ def test_contrastive_net_zero_phase_matches_default(monkeypatch):
     for a, b in zip(jax.tree.leaves(o_ref), jax.tree.leaves(o_zero)):
         assert a.shape == b.shape
         assert _rel_err(a, b) < 2e-5
+
+
+def test_unet_nl_zero_phase_matches_default(monkeypatch):
+    """The NL cell layout composes with zero-phase execution (the perf
+    campaign measures this combination): same outputs as the default
+    NC/phase-shift execution from the same parameter tree."""
+    from multimodal_mvd_seg_tpu.models.unet import PlainConvUNetCF
+    kw = dict(features_per_stage=[8, 16, 32, 64],
+              n_conv_per_stage_encoder=[2] * 4,
+              n_conv_per_stage_decoder=[2] * 3,
+              kernel_sizes=[[3, 3, 3]] * 4,
+              strides=[[1, 1, 1], [2, 2, 2], [2, 2, 2], [1, 2, 2]],
+              num_classes=3, deep_supervision=True, dtype=jnp.float32,
+              seg_dtype=jnp.float32, s2d_stages=2, s2d_factors=(1, 2, 2))
+    net_ref = PlainConvUNetCF(**kw)
+    x = jnp.asarray(np.random.RandomState(4).randn(1, 16, 32, 32, 2),
+                    jnp.float32)
+    params = jax.jit(net_ref.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    o_ref = jax.jit(net_ref.apply, static_argnames="train")(
+        params, x, train=False)
+    monkeypatch.setenv("MVDSEG_S2D_PHASE", "zero")
+    net_nl = PlainConvUNetCF(**kw, s2d_layout="NL")
+    o_nl = jax.jit(net_nl.apply, static_argnames="train")(
+        params, x, train=False)
+    for a, b in zip(o_ref, o_nl):
+        assert a.shape == b.shape
+        assert _rel_err(a, b) < 2e-5
