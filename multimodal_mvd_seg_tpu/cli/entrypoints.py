@@ -365,6 +365,66 @@ def download_by_url():
     download_and_install_from_url(a.url)
 
 
+def import_torch_checkpoint_entry():
+    """Convert a reference-trained torch checkpoint (.pth) into a flax
+    params pickle + net-kwargs JSON (model_sharing/torch_import.py)."""
+    p = argparse.ArgumentParser(
+        description="Import an nnU-Net/MVD torch PlainConvUNet checkpoint; "
+                    "writes <out>.pkl (flax params) and <out>.json (the "
+                    "PlainConvUNetCF constructor kwargs, incl. "
+                    "conv_padding='TORCH').")
+    p.add_argument("checkpoint", help="checkpoint_final.pth / .pt path")
+    p.add_argument("out", help="output prefix")
+    a = p.parse_args()
+    import json
+    import pickle
+
+    from ..model_sharing.torch_import import (convert_plain_conv_unet,
+                                              load_network_weights,
+                                              plain_conv_unet_kwargs)
+    w = load_network_weights(a.checkpoint)
+    kwargs = plain_conv_unet_kwargs(w)
+    params = convert_plain_conv_unet(w)
+    with open(a.out + ".pkl", "wb") as f:
+        pickle.dump({"params": params, "net_kwargs": kwargs}, f)
+    with open(a.out + ".json", "w") as f:
+        json.dump(kwargs, f, indent=2)
+    n = sum(x.size for x in jax_tree_leaves(params))
+    print(f"converted {n:,} parameters -> {a.out}.pkl (+.json)")
+
+
+def jax_tree_leaves(tree):
+    out = []
+    for v in tree.values():
+        out.extend(jax_tree_leaves(v) if isinstance(v, dict) else [v])
+    return out
+
+
+def import_torch_model_folder_entry():
+    """Convert a whole reference trained-model folder (plans.json +
+    dataset.json + fold_*/checkpoint_*.pth) into this framework's
+    results-folder format, directly runnable by mvdseg_predict."""
+    p = argparse.ArgumentParser(
+        description="Import a reference (nnU-Net v2 / MVD) trained-model "
+                    "folder. <src> is the torch results folder "
+                    "(…/DatasetXXX/nnUNetTrainer__nnUNetPlans__3d_fullres); "
+                    "<dst> receives plans.json, dataset.json and converted "
+                    "fold_*/checkpoint_*.pkl. Run mvdseg_predict with "
+                    "-m <dst> afterwards.")
+    p.add_argument("src", help="reference trained-model folder")
+    p.add_argument("dst", help="output trained-model folder")
+    p.add_argument("-chk", nargs="+", default=None,
+                   help="checkpoint file names to convert (default: "
+                        "checkpoint_final.pth + checkpoint_best.pth)")
+    a = p.parse_args()
+    from ..model_sharing.torch_import import import_torch_model_folder
+    kw = {"checkpoint_names": tuple(a.chk)} if a.chk else {}
+    converted = import_torch_model_folder(a.src, a.dst, **kw)
+    for fold, files in sorted(converted.items()):
+        for f in files:
+            print(f"converted {fold}: {f}")
+
+
 def entry_point_move_plans_between_datasets():
     p = argparse.ArgumentParser()
     p.add_argument("-s", required=True, help="source dataset")

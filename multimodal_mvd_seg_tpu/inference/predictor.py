@@ -88,6 +88,12 @@ class MVDSegPredictor:
         tmp_trainer = trainer_class(plans, checkpoint["init_args"]["configuration"],
                                     0, dataset_json)
         network = tmp_trainer.build_network_architecture(deep_supervision=False)
+        overrides = checkpoint.get("network_overrides")
+        if overrides:
+            # imported reference checkpoints carry module-attribute
+            # overrides (conv_padding="TORCH", transpconv_bias — see
+            # model_sharing/torch_import.py::import_torch_model_folder)
+            network = network.clone(**overrides)
         self.manual_initialization(network, plans_manager, configuration_manager,
                                    params_list, dataset_json, trainer_name,
                                    mirroring_axes)
@@ -339,6 +345,9 @@ class MVDSegPredictor:
         for files, out_trunc in zip(list_of_lists, out_names):
             out_file = out_trunc if out_trunc.endswith(ending) \
                 else out_trunc + ending
+            # truncated-output-file lists may point into folders that don't
+            # exist yet (reference predict_from_files does the same mkdir)
+            maybe_mkdir_p(os.path.dirname(out_file) or ".")
             if not overwrite and isfile(out_file):
                 continue
             seg_prev = None

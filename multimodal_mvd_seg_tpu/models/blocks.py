@@ -29,12 +29,21 @@ def _tup(x: Shape, dim: int) -> Tuple[int, ...]:
 
 
 class ConvCF(nn.Module):
-    """channels-first convolution (NC*spatial, weights OI*k)."""
+    """channels-first convolution (NC*spatial, weights OI*k).
+
+    ``padding``: "SAME" (XLA/TF convention — total (out−1)s+k−L, extra pad
+    on the HIGH side) or "TORCH" (symmetric (k−1)//2 per side, the
+    reference's nn.Conv3d(padding=k//2) convention). For stride-1 odd
+    kernels the two coincide; for strided convs on even lengths they
+    produce the same output length but windows shifted by one voxel —
+    "TORCH" exists so reference-trained checkpoints can be imported with
+    exact alignment (model_sharing/torch_import.py)."""
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int]
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    padding: str = "SAME"
 
     @nn.compact
     def __call__(self, x):
@@ -46,28 +55,37 @@ class ConvCF(nn.Module):
             2.0, "fan_in", "truncated_normal"), kshape, jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32) if self.use_bias else None
+        pad = "SAME" if self.padding == "SAME" else \
+            [((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size]
         if dim == 3 and self.use_bias:
             # 3D convs route through conv3d_cf: the Pallas implicit-GEMM
             # kernel for eligible stride-1 3³ shapes, XLA otherwise
             from ..ops.pallas_conv import conv3d_cf
             return conv3d_cf(x.astype(self.dtype), w.astype(self.dtype),
-                             b.astype(self.dtype), tuple(self.strides))
+                             b.astype(self.dtype), tuple(self.strides),
+                             padding=pad)
         letters = "DHW"[3 - dim:]
         dn = (f"NC{letters}", f"OI{letters}", f"NC{letters}")
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype),
-            tuple(self.strides), "SAME", dimension_numbers=dn)
+            tuple(self.strides), pad, dimension_numbers=dn)
         if self.use_bias:
             y = y + b.astype(y.dtype).reshape(1, -1, *([1] * dim))
         return y
 
 
 class ConvTransposeCF(nn.Module):
-    """channels-first transposed convolution (weights IO*k)."""
+    """channels-first transposed convolution (weights IO*k).
+
+    ``use_bias`` defaults False (the round-1 parameter tree); the
+    reference's transpconvs carry a bias (conv_bias=True in
+    get_network_from_plans) — through the following instance norm it only
+    matters at padded borders, but checkpoint import needs it exact."""
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int]
     dtype: jnp.dtype = jnp.bfloat16
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -78,9 +96,14 @@ class ConvTransposeCF(nn.Module):
             2.0, "fan_in", "truncated_normal"), kshape, jnp.float32)
         letters = "DHW"[3 - dim:]
         dn = (f"NC{letters}", f"IO{letters}", f"NC{letters}")
-        return jax.lax.conv_transpose(
+        y = jax.lax.conv_transpose(
             x.astype(self.dtype), w.astype(self.dtype), tuple(self.strides),
             "SAME", dimension_numbers=dn)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(y.dtype).reshape(1, -1, *([1] * dim))
+        return y
 
 
 def _norm_impl() -> str:
@@ -150,11 +173,12 @@ class ConvNormActCF(nn.Module):
     strides: Sequence[int]
     act: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    padding: str = "SAME"
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
         x = ConvCF(self.features, self.kernel_size, self.strides,
-                   dtype=self.dtype, name="conv")(x)
+                   dtype=self.dtype, padding=self.padding, name="conv")(x)
         scale = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
@@ -178,6 +202,7 @@ class StackedConvBlocksCF(nn.Module):
     kernel_size: Sequence[int]
     first_stride: Sequence[int]
     dtype: jnp.dtype = jnp.bfloat16
+    padding: str = "SAME"
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -185,7 +210,7 @@ class StackedConvBlocksCF(nn.Module):
         for i in range(self.n_convs):
             stride = self.first_stride if i == 0 else (1,) * dim
             x = ConvNormActCF(self.features, self.kernel_size, stride,
-                              dtype=self.dtype,
+                              dtype=self.dtype, padding=self.padding,
                               name=f"block{i}")(x, train=train)
         return x
 
@@ -298,8 +323,9 @@ from ..ops import s2d as _s2d
 
 
 @_functools.lru_cache(maxsize=None)
-def _cell_spec(kernel, strides, rep_in, rep_out, in_lens):
-    return _s2d.CellConvSpec(kernel, strides, rep_in, rep_out, in_lens)
+def _cell_spec(kernel, strides, rep_in, rep_out, in_lens, pad_mode="SAME"):
+    return _s2d.CellConvSpec(kernel, strides, rep_in, rep_out, in_lens,
+                             pad_mode=pad_mode)
 
 
 class CellConv(nn.Module):
@@ -323,6 +349,8 @@ class CellConv(nn.Module):
     # (B, *cells, C*F); entry/exit convs may change layout in the conv op
     layout_in: str = "NC"
     layout_out: str = "NC"
+    # strided-conv padding convention: "SAME" or "TORCH" (see ConvCF)
+    padding: str = "SAME"
 
     @nn.compact
     def __call__(self, x):
@@ -341,7 +369,8 @@ class CellConv(nn.Module):
             else parts[0].shape[1:-1]
         spec = _cell_spec(tuple(map(int, self.kernel_size)),
                           tuple(map(int, self.strides)),
-                          self.rep_in, self.rep_out, tuple(in_lens))
+                          self.rep_in, self.rep_out, tuple(in_lens),
+                          self.padding)
         out = None
         off = 0
         for p, ci in zip(parts, cins):
@@ -370,13 +399,14 @@ class ConvNormActS2D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     layout_in: str = "NC"
     layout_out: str = "NC"
+    padding: str = "SAME"
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
         x = CellConv(self.features, self.kernel_size, self.strides,
                      self.rep_in, self.rep_out, dtype=self.dtype,
                      layout_in=self.layout_in, layout_out=self.layout_out,
-                     name="conv")(x)
+                     padding=self.padding, name="conv")(x)
         scale = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
@@ -412,6 +442,9 @@ class StackedConvBlocksS2D(nn.Module):
     # channels-last would re-introduce the lane padding s2d exists to avoid.
     layout: str = "NC"
     layout_in: str = "NC"
+    # strided-conv padding convention ("SAME"/"TORCH", see ConvCF) — only
+    # the stage entry conv can be strided, stride-1 convs are identical
+    padding: str = "SAME"
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -436,6 +469,7 @@ class StackedConvBlocksS2D(nn.Module):
             x = ConvNormActS2D(self.features, self.kernel_size, stride,
                                rep, rep_out, dtype=self.dtype,
                                layout_in=li, layout_out=stage_layout,
+                               padding=self.padding,
                                name=f"block{i}")(x, train=train)
             rep = rep_out
             li = stage_layout
@@ -453,6 +487,9 @@ class ConvTransposeS2D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     layout_in: str = "NC"
     layout_out: str = "NC"
+    # imported reference checkpoints carry a transpconv bias (see
+    # ConvTransposeCF); param tree stays identical to ConvTransposeCF
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -462,8 +499,18 @@ class ConvTransposeS2D(nn.Module):
         kshape = (cin, self.features, *self.kernel_size)
         w = self.param("kernel", nn.initializers.variance_scaling(
             2.0, "fan_in", "truncated_normal"), kshape, jnp.float32)
-        return _s2d.cell_transpose(
+        y = _s2d.cell_transpose(
             x.astype(self.dtype), w.astype(self.dtype),
             _s2d.rep_of(self.in_factors), _s2d.rep_of(self.out_factors),
             tuple(self.strides), layout_in=self.layout_in,
             layout_out=self.layout_out)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            dim = len(self.kernel_size)
+            f_out = int(np.prod(self.out_factors))
+            bc = jnp.repeat(b, f_out).astype(y.dtype)
+            shape = (1, -1) + (1,) * dim if self.layout_out == "NC" \
+                else (1,) * (dim + 1) + (-1,)
+            y = y + bc.reshape(shape)
+        return y

@@ -226,6 +226,14 @@ class PlainConvUNetCF(nn.Module):
     # logits dtype; bf16 matches the reference's AMP training (losses
     # upcast to f32 before softmax/Dice)
     seg_dtype: jnp.dtype = jnp.bfloat16
+    # "SAME" (default) or "TORCH": strided-conv padding convention (see
+    # ConvCF). "TORCH" exists for importing reference-trained checkpoints
+    # (model_sharing/torch_import.py); the s2d cell solver handles both
+    # conventions (CellConvSpec pad_mode), so imported nets keep the fast
+    # path.
+    conv_padding: str = "SAME"
+    # reference transpconvs carry a bias (ConvTransposeCF.use_bias)
+    transpconv_bias: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -259,9 +267,11 @@ class PlainConvUNetCF(nn.Module):
                 li = "NC" if s == 0 else lay(s - 1)
                 x = cls(n, f, k, st, tuple(in_f), tuple(sf[s]),
                         layout=lay(s), layout_in=li,
+                        padding=self.conv_padding,
                         **kwargs)(x, train=train)
             else:
-                x = cls(n, f, k, st, **kwargs)(x, train=train)
+                x = cls(n, f, k, st, padding=self.conv_padding,
+                        **kwargs)(x, train=train)
             skips.append(x)
         n_stages = len(self.features_per_stage)
         x = skips[-1]
@@ -276,9 +286,11 @@ class PlainConvUNetCF(nn.Module):
                                      tuple(dst_f), dtype=self.dtype,
                                      layout_in=lay(skip_stage + 1),
                                      layout_out=lay(skip_stage),
+                                     use_bias=self.transpconv_bias,
                                      name=f"up{d}")(x)
             else:
                 x = ConvTransposeCF(f, stride, stride, dtype=self.dtype,
+                                    use_bias=self.transpconv_bias,
                                     name=f"up{d}")(x)
             use_s2d = factored(skip_stage)
             base = StackedConvBlocksS2D if use_s2d else StackedConvBlocksCF
@@ -291,14 +303,15 @@ class PlainConvUNetCF(nn.Module):
                 x = cls(self.n_conv_per_stage_decoder[d], f,
                         self.kernel_sizes[skip_stage], (1,) * dim,
                         tuple(dst_f), tuple(dst_f), layout=lay(skip_stage),
-                        layout_in=lay(skip_stage), **kwargs)(
+                        layout_in=lay(skip_stage),
+                        padding=self.conv_padding, **kwargs)(
                     (x, skips[skip_stage].astype(x.dtype)), train=train)
             else:
                 x = jnp.concatenate([x, skips[skip_stage].astype(x.dtype)],
                                     axis=1)
                 x = cls(self.n_conv_per_stage_decoder[d], f,
                         self.kernel_sizes[skip_stage], (1,) * dim,
-                        **kwargs)(x, train=train)
+                        padding=self.conv_padding, **kwargs)(x, train=train)
             if self.deep_supervision or d == n_stages - 2:
                 # seg heads in seg_dtype (default bf16 — the reference
                 # trains under AMP so its logits are half precision too;

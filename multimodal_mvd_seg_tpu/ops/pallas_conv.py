@@ -152,9 +152,9 @@ def _pallas_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     )(x0, w_packed, b)
 
 
-def _xla_conv3_cf(x, w, b, stride=(1, 1, 1)):
+def _xla_conv3_cf(x, w, b, stride=(1, 1, 1), padding="SAME"):
     y = jax.lax.conv_general_dilated(
-        x, w, stride, "SAME", dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+        x, w, stride, padding, dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
     return y + b.astype(y.dtype).reshape(1, -1, 1, 1, 1)
 
 
@@ -219,8 +219,14 @@ def _eligible(x, w) -> bool:
     return vmem <= 12 * 1024 * 1024
 
 
-def conv3d_cf(x, w, b, stride=(1, 1, 1), use_pallas: Optional[bool] = None):
-    """Dispatch: the Pallas kernel when eligible, XLA otherwise."""
+def conv3d_cf(x, w, b, stride=(1, 1, 1), use_pallas: Optional[bool] = None,
+              padding="SAME"):
+    """Dispatch: the Pallas kernel when eligible, XLA otherwise.
+
+    ``padding``: "SAME" or an explicit per-axis (lo, hi) list (the torch
+    symmetric convention for checkpoint import). The Pallas kernel is
+    stride-1 3³, where SAME == symmetric (1,1) — both conventions are
+    eligible."""
     eligible = tuple(stride) == (1, 1, 1) and _eligible(x, w)
     if use_pallas is None:
         # Standalone the kernel beats XLA 13.4 vs 16.9 ms, but inside the
@@ -230,4 +236,4 @@ def conv3d_cf(x, w, b, stride=(1, 1, 1), use_pallas: Optional[bool] = None):
         use_pallas = False
     if use_pallas and eligible:
         return pallas_conv3x3x3_cf(x, w, b)
-    return _xla_conv3_cf(x, w, b, stride)
+    return _xla_conv3_cf(x, w, b, stride, padding)

@@ -146,7 +146,8 @@ class CellConvSpec:
     scatter, paddings, and output array lengths."""
 
     def __init__(self, kernel: Sequence[int], strides: Sequence[int],
-                 rep_in: Rep, rep_out: Rep, in_lens: Sequence[int]):
+                 rep_in: Rep, rep_out: Rep, in_lens: Sequence[int],
+                 pad_mode: str = "SAME"):
         dim = len(kernel)
         self.kernel = tuple(kernel)
         self.strides = tuple(strides)
@@ -162,7 +163,12 @@ class CellConvSpec:
             (f_i, ph_i), (f_o, ph_o) = rep_in[a], rep_out[a]
             n_in = in_lens[a]                      # input array length
             L_in = f_i * (n_in - ph_i)             # logical length
-            if s == 1:
+            if pad_mode == "TORCH":
+                # torch nn.Conv3d(padding=(k-1)//2) symmetric convention
+                # (imported reference checkpoints — models/blocks.py::ConvCF);
+                # identical to SAME for stride-1 odd kernels
+                pad_lo, pad_total = (k - 1) // 2, 2 * ((k - 1) // 2)
+            elif s == 1:
                 pad_lo, pad_total = (k - 1) // 2, k - 1
             else:
                 pad_lo, pad_hi = _xla_same_pads(L_in, k, s)

@@ -11,7 +11,7 @@ re-designed functionally:
   12 batchgenerators worker processes, :633-644).
 - 5-fold split seeded KFold(12345) + splits_final.json (reference :517-579).
 - Online pseudo-Dice from hard tp/fp/fn (reference :942-1037), EMA-dice best
-  checkpointing + checkpoint_latest every 50 epochs (reference :1052-1066).
+  checkpointing + checkpoint_latest every 20 epochs (reference :1052-1066).
 - Data parallelism: global batch sharded over the mesh 'data' axis; gradient
   psums inserted by XLA (replaces DDP, reference run_training.py:152-231).
 """

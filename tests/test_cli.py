@@ -12,7 +12,9 @@ def test_all_console_scripts_resolve():
     import tomllib
     cfg = tomllib.load(open("pyproject.toml", "rb"))
     scripts = cfg["project"]["scripts"]
-    assert len(scripts) == 42  # 21 canonical + 21 nnUNetv2_* aliases
+    # 23 canonical (21 reference-parity + mvdseg_import_torch_checkpoint
+    # + mvdseg_import_torch_model_folder) + 21 nnUNetv2_* aliases
+    assert len(scripts) == 44
     for name, target in scripts.items():
         mod, fn = target.split(":")
         assert callable(getattr(importlib.import_module(mod), fn)), name

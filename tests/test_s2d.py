@@ -413,3 +413,37 @@ def test_unet_nl_zero_phase_matches_default(monkeypatch):
     for a, b in zip(o_ref, o_nl):
         assert a.shape == b.shape
         assert _rel_err(a, b) < 2e-5
+
+
+def test_unet_s2d_torch_padding_equivalence():
+    """conv_padding="TORCH" (imported reference checkpoints) through the
+    s2d path: CellConvSpec(pad_mode="TORCH") strided entry convs +
+    transpconv bias must reproduce the plain TORCH-padded execution (which
+    test_torch_import.py pins against real torch)."""
+    from multimodal_mvd_seg_tpu.models.unet import PlainConvUNetCF
+    kw = dict(features_per_stage=[8, 16, 32, 64],
+              n_conv_per_stage_encoder=[2] * 4,
+              n_conv_per_stage_decoder=[2] * 3,
+              kernel_sizes=[[3, 3, 3]] * 4,
+              strides=[[1, 1, 1], [2, 2, 2], [2, 2, 2], [1, 2, 2]],
+              num_classes=3, deep_supervision=True, dtype=jnp.float32,
+              seg_dtype=jnp.float32, conv_padding="TORCH",
+              transpconv_bias=True)
+    net0 = PlainConvUNetCF(**kw)
+    net2 = PlainConvUNetCF(**kw, s2d_stages=2, s2d_factors=(1, 2, 2))
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 16, 32, 32, 2),
+                    jnp.float32)
+    p0 = jax.jit(lambda r, t: net0.init(r, t, train=False))(
+        jax.random.PRNGKey(0), x)["params"]
+    p2 = jax.jit(lambda r, t: net2.init(r, t, train=False))(
+        jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(p0) == jax.tree.structure(p2)
+    # make the transpconv biases non-zero so the s2d bias path is exercised
+    rng = np.random.RandomState(2)
+    p0 = jax.tree_util.tree_map_with_path(
+        lambda path, v: jnp.asarray(rng.randn(*v.shape), v.dtype)
+        if "bias" in str(path) and "up" in str(path) else v, p0)
+    o0 = net0.apply({"params": p0}, x, train=True)
+    o2 = net2.apply({"params": p0}, x, train=True)
+    for a, b in zip(o0, o2):
+        assert _rel_err(a, b) < 1e-4

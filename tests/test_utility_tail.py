@@ -133,3 +133,50 @@ def test_vtk_and_dcm_converters_with_injected_readers(tmp_path):
     # missing optional libraries raise actionable errors
     with pytest.raises(ImportError, match="vtk"):
         vtk_mesh_to_labelmap("f.vtk", out, ref)
+
+
+def test_statistical_significance_paired_tests():
+    """Reference utilities/statistical_significance.py equivalent:
+    per-fold ttest_rel reproduction and the stronger per-case pairing."""
+    from multimodal_mvd_seg_tpu.evaluation.statistical_significance import (
+        collect_metric_samples, compare_methods)
+    from scipy import stats
+
+    rng = np.random.RandomState(0)
+
+    def summary(cases, dice_by_case):
+        return {"metric_per_case": [
+            {"prediction_file": f"/x/{c}.nii.gz",
+             "metrics": {"1": {"Dice": dice_by_case[c]},
+                         "2": {"Dice": dice_by_case[c] - 0.05}}}
+            for c in cases]}
+
+    folds = [[f"case_{i:03d}" for i in range(f * 4, f * 4 + 4)]
+             for f in range(3)]
+    da = {c: 0.80 + 0.01 * rng.rand() for f in folds for c in f}
+    db = {c: da[c] - 0.02 - 0.005 * rng.rand() for c in da}
+    sa = [summary(f, da) for f in folds]
+    sb = [summary(f, db) for f in folds]
+
+    # per-case pairing: method A consistently better -> tiny p
+    r = compare_methods(sa, sb, metric="Dice", label=1)
+    assert r["n"] == 12 and r["mean_diff"] > 0.019
+    assert r["t_p_value"] < 1e-6 and r["wilcoxon_p_value"] < 1e-3
+
+    # per-summary pairing reproduces the reference's fold-mean ttest_rel
+    r2 = compare_methods(sa, sb, metric="Dice", label=1,
+                         paired="per_summary")
+    fa = [np.mean([da[c] for c in f]) for f in folds]
+    fb = [np.mean([db[c] for c in f]) for f in folds]
+    t, p = stats.ttest_rel(fa, fb)
+    assert r2["n"] == 3
+    assert np.isclose(r2["t_statistic"], t) and np.isclose(r2["t_p_value"], p)
+
+    # label=None averages the foreground labels per case
+    samples = collect_metric_samples(sa, "Dice", None)
+    assert np.isclose(samples["case_000.nii.gz"],
+                      np.mean([da["case_000"], da["case_000"] - 0.05]))
+
+    # duplicate case across summaries of one method is an error
+    with pytest.raises(ValueError, match="more than one summary"):
+        collect_metric_samples([sa[0], sa[0]], "Dice", 1)
