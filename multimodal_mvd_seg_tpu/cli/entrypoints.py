@@ -367,30 +367,43 @@ def download_by_url():
 
 def import_torch_checkpoint_entry():
     """Convert a reference-trained torch checkpoint (.pth) into a flax
-    params pickle + net-kwargs JSON (model_sharing/torch_import.py)."""
+    params pickle + net-kwargs JSON (model_sharing/torch_import.py).
+    Detects the architecture: PlainConvUNet (nnU-Net) or the MVD
+    ContrastiveNet (the reference's get_network_from_plans default)."""
     p = argparse.ArgumentParser(
-        description="Import an nnU-Net/MVD torch PlainConvUNet checkpoint; "
-                    "writes <out>.pkl (flax params) and <out>.json (the "
-                    "PlainConvUNetCF constructor kwargs, incl. "
-                    "conv_padding='TORCH').")
+        description="Import an nnU-Net/MVD torch checkpoint "
+                    "(PlainConvUNet or ContrastiveNet, auto-detected); "
+                    "writes <out>.pkl (flax params [+batch_stats]) and "
+                    "<out>.json (the constructor kwargs).")
     p.add_argument("checkpoint", help="checkpoint_final.pth / .pt path")
     p.add_argument("out", help="output prefix")
     a = p.parse_args()
     import json
     import pickle
 
-    from ..model_sharing.torch_import import (convert_plain_conv_unet,
+    from ..model_sharing.torch_import import (contrastive_net_kwargs,
+                                              convert_contrastive_net,
+                                              convert_plain_conv_unet,
                                               load_network_weights,
                                               plain_conv_unet_kwargs)
     w = load_network_weights(a.checkpoint)
-    kwargs = plain_conv_unet_kwargs(w)
-    params = convert_plain_conv_unet(w)
+    if any(k.startswith("share_encoder.") for k in w):
+        kwargs = contrastive_net_kwargs(w)
+        params, stats = convert_contrastive_net(w, kwargs["num_heads"])
+        payload = {"params": params, "batch_stats": stats,
+                   "net_kwargs": kwargs, "architecture": "ContrastiveNet"}
+    else:
+        kwargs = plain_conv_unet_kwargs(w)
+        params = convert_plain_conv_unet(w)
+        payload = {"params": params, "net_kwargs": kwargs,
+                   "architecture": "PlainConvUNetCF"}
     with open(a.out + ".pkl", "wb") as f:
-        pickle.dump({"params": params, "net_kwargs": kwargs}, f)
+        pickle.dump(payload, f)
     with open(a.out + ".json", "w") as f:
         json.dump(kwargs, f, indent=2)
     n = sum(x.size for x in jax_tree_leaves(params))
-    print(f"converted {n:,} parameters -> {a.out}.pkl (+.json)")
+    print(f"converted {payload['architecture']}: {n:,} parameters "
+          f"-> {a.out}.pkl (+.json)")
 
 
 def jax_tree_leaves(tree):

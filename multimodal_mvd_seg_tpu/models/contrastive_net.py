@@ -17,7 +17,10 @@ my_network/my_network/HybridNetwork.py:1364-1578 (ContrastiveNet):
 The reference forward has a known bug — branch 2's decoder chain feeds
 branch 1's activations (dec3/dec2/dec1 instead of dec3_/dec2_/dec1_ at
 HybridNetwork.py:1562-1564, SURVEY.md §0). We implement the intended
-wiring: each branch consumes its own activations.
+wiring by default; ``branch2_wiring="reference"`` reproduces the
+reference's literal dataflow — required when replaying checkpoints whose
+branch-2 decoders were *trained* on branch-1 activations
+(model_sharing/torch_import.py sets it on imported folders).
 
 ``__call__(data, train)`` returns ``(logits_list1, logits_list2, fea1,
 fea2)`` when ``do_ds`` (lists finest-first, channels-last logits in fp32)
@@ -89,6 +92,13 @@ class ContrastiveNet(nn.Module):
     # C*F = 8, which channels-last would lane-pad 16x); in NL the seg
     # heads emit channels-last logits directly (no full-res relayout).
     s2d_layout: str = "NC"
+    # "fixed" (each branch consumes its own activations) or "reference"
+    # (the literal HybridNetwork.py:1562-1564 dataflow — see module
+    # docstring; imported torch checkpoints need this)
+    branch2_wiring: str = "fixed"
+    # EPA out-projection biases (EPACF.out_bias); imported torch
+    # checkpoints carry them, fresh trainings keep the round-1 tree
+    epa_out_bias: bool = False
 
     def setup(self):
         fs = self.feature_size
@@ -97,7 +107,8 @@ class ContrastiveNet(nn.Module):
             depths=tuple(self.depths), num_heads=self.num_heads,
             in_channels=self.input_channels, stem_stride=(2, 2, 2),
             stage_strides=((2, 2, 2), (2, 2, 2), (2, 4, 4)),
-            remat=self.remat, dtype=self.dtype)
+            remat=self.remat, dtype=self.dtype,
+            epa_out_bias=self.epa_out_bias)
 
         def up(out_ch, stride, conv_decoder=False, proj=64, s2d=None):
             return UnetrUpBlockCF(out_channels=out_ch, upsample_stride=stride,
@@ -105,6 +116,7 @@ class ContrastiveNet(nn.Module):
                                   conv_decoder=conv_decoder,
                                   s2d_factors=s2d, remat=self.remat,
                                   s2d_layout=self.s2d_layout,
+                                  epa_out_bias=self.epa_out_bias,
                                   dtype=self.dtype)
 
         sf = None if self.s2d_factors is None else tuple(self.s2d_factors)
@@ -172,9 +184,16 @@ class ContrastiveNet(nn.Module):
         out = self.decoder2(dec1, stem, train=train)
 
         dec3_ = self.decoder5_(fea2, enc3, train=train)
-        dec2_ = self.decoder4_(dec3_, enc2, train=train)
-        dec1_ = self.decoder3_(dec2_, enc1, train=train)
-        out_ = self.decoder2_(dec1_, stem, train=train)
+        if self.branch2_wiring == "reference":
+            # literal HybridNetwork.py:1562-1564 dataflow: decoder4_/3_/2_
+            # consume BRANCH-1 activations (see module docstring)
+            dec2_ = self.decoder4_(dec3, enc2, train=train)
+            dec1_ = self.decoder3_(dec2, enc1, train=train)
+            out_ = self.decoder2_(dec1, stem, train=train)
+        else:
+            dec2_ = self.decoder4_(dec3_, enc2, train=train)
+            dec1_ = self.decoder3_(dec2_, enc1, train=train)
+            out_ = self.decoder2_(dec1_, stem, train=train)
 
         def cl(t):  # channels-first fp32 logits -> channels-last
             return jnp.moveaxis(t, 1, -1)

@@ -171,7 +171,9 @@ class TransformerBlock(nn.Module):
             tokens = tokens + pe.astype(tokens.dtype)
         gamma = self.param("gamma",
                            nn.initializers.constant(1e-6), (C,), jnp.float32)
-        normed = nn.LayerNorm(dtype=jnp.float32, name="norm")(tokens)
+        # epsilon 1e-5 = torch nn.LayerNorm default (checkpoint import parity)
+        normed = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+                              name="norm")(tokens)
         attn = EPA(self.hidden_size, self.proj_size, self.num_heads,
                    self.dropout_rate, dtype=self.dtype,
                    name="epa_block")(normed.astype(self.dtype), train=train)
@@ -425,6 +427,11 @@ class EPACF(nn.Module):
     num_heads: int = 4
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
+    # the reference's out_proj/out_proj2 nn.Linears carry biases; the round-1
+    # tree omitted them (they cancel into the following residual+norm only
+    # approximately). Off by default so existing checkpoints keep loading;
+    # imported torch checkpoints build with True (model_sharing/torch_import).
+    out_bias: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -468,6 +475,13 @@ class EPACF(nn.Module):
                             w_ca.astype(self.dtype))
         out_sa = jnp.einsum("bcn,cd->bdn", x_sa.astype(self.dtype),
                             w_sa.astype(self.dtype))
+        if self.out_bias:
+            b_ca = self.param("out_proj_bias", nn.initializers.zeros,
+                              (C // 2,), jnp.float32)
+            b_sa = self.param("out_proj2_bias", nn.initializers.zeros,
+                              (C // 2,), jnp.float32)
+            out_ca = out_ca + b_ca.astype(out_ca.dtype).reshape(1, -1, 1)
+            out_sa = out_sa + b_sa.astype(out_sa.dtype).reshape(1, -1, 1)
         return jnp.concatenate([out_sa, out_ca], axis=1)
 
 
@@ -479,6 +493,7 @@ class TransformerBlockCF(nn.Module):
     dropout_rate: float = 0.1
     pos_embed: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    epa_out_bias: bool = False  # see EPACF.out_bias
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -492,10 +507,13 @@ class TransformerBlockCF(nn.Module):
             tokens = tokens + pe.astype(tokens.dtype)
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (C,),
                            jnp.float32)
+        # epsilon 1e-5 = torch nn.LayerNorm default (checkpoint import parity)
         normed = nn.LayerNorm(dtype=jnp.float32, reduction_axes=1,
-                              feature_axes=1, name="norm")(tokens)
+                              feature_axes=1, epsilon=1e-5,
+                              name="norm")(tokens)
         attn = EPACF(self.hidden_size, self.proj_size, self.num_heads,
                      self.dropout_rate, dtype=self.dtype,
+                     out_bias=self.epa_out_bias,
                      name="epa_block")(normed.astype(self.dtype), train=train)
         tokens = tokens + gamma.reshape(1, C, 1).astype(attn.dtype) * attn
         vol = tokens.reshape(B, C, *spatial)
@@ -539,6 +557,7 @@ class _DownsampleStageCF(nn.Module):
     transformer_dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    epa_out_bias: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -550,7 +569,8 @@ class _DownsampleStageCF(nn.Module):
         for j in range(self.depth):
             x = block_cls(self.features, self.proj_size, self.num_heads,
                           self.transformer_dropout_rate, pos_embed=True,
-                          dtype=self.dtype, name=f"block{j}")(x, train)
+                          dtype=self.dtype, epa_out_bias=self.epa_out_bias,
+                          name=f"block{j}")(x, train)
         return x
 
 
@@ -566,6 +586,7 @@ class UnetrPPEncoderCF(nn.Module):
     transformer_dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    epa_out_bias: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -577,6 +598,7 @@ class UnetrPPEncoderCF(nn.Module):
                 self.dims[i], strides[i], self.depths[i], self.proj_size[i],
                 self.num_heads, groups[i], self.transformer_dropout_rate,
                 dtype=self.dtype, remat=self.remat,
+                epa_out_bias=self.epa_out_bias,
                 name=f"stage{i}")(x, train=train)
             hidden_states.append(x)
         return x, hidden_states
@@ -599,6 +621,7 @@ class UnetrUpBlockCF(nn.Module):
     remat: bool = False
     s2d_layout: str = "NC"  # cell layout of the s2d stage; the skip must
     #                         already arrive in this layout
+    epa_out_bias: bool = False
 
     @nn.compact
     def __call__(self, x, skip, *, train: bool = True):
@@ -631,6 +654,7 @@ class UnetrUpBlockCF(nn.Module):
                 x = blk_cls(self.out_channels, self.proj_size,
                             self.num_heads, 0.1, pos_embed=True,
                             dtype=self.dtype,
+                            epa_out_bias=self.epa_out_bias,
                             name=f"decoder_block{j}")(x, train)
         return x
 
