@@ -12,6 +12,7 @@ psums). Multi-host runs initialize ``jax.distributed`` from the environment
 instead of MASTER_ADDR/mp.spawn.
 """
 
+import re
 from typing import Optional, Union
 
 from .. import paths
@@ -71,25 +72,59 @@ def maybe_load_checkpoint(trainer, continue_training: bool,
         trainer.load_checkpoint(expected)
 
 
-def load_pretrained_weights(trainer, weights_file: str):
-    """Load matching-shape parameters from another checkpoint (reference
-    run_training.py pretrained-weights path + load_pretrained_weights)."""
+# segmentation-head scopes are never transferred (reference
+# load_pretrained_weights.py:21-23 skips '.seg_layers.'): the head maps
+# features to the TARGET dataset's classes — even shape-coincident heads
+# from another dataset are the wrong mapping
+_SEG_HEAD_SCOPE = re.compile(r"^(seg\d+|out\d+_?)$")
+
+
+def _load_pretrained_source(weights_file: str):
+    """A checkpoint of this framework (.pkl) or a reference torch
+    checkpoint (.pth/.pt — auto-converted via model_sharing/torch_import,
+    architecture auto-detected), → (params_tree, batch_stats_tree)."""
     import pickle
-    import flax
-    import numpy as np
+    if weights_file.endswith((".pth", ".pt")):
+        from ..model_sharing.torch_import import (contrastive_net_kwargs,
+                                                  convert_contrastive_net,
+                                                  convert_plain_conv_unet,
+                                                  load_network_weights)
+        w = load_network_weights(weights_file)
+        if any(k.startswith("share_encoder.") for k in w):
+            return convert_contrastive_net(
+                w, contrastive_net_kwargs(w)["num_heads"])
+        return convert_plain_conv_unet(w), {}
     with open(weights_file, "rb") as f:
         ckpt = pickle.load(f)
     source = ckpt["network_weights"] if "network_weights" in ckpt else ckpt
+    return source, ckpt.get("batch_stats", {}) \
+        if isinstance(ckpt, dict) else {}
+
+
+def load_pretrained_weights(trainer, weights_file: str):
+    """Load matching-shape parameters from another checkpoint (reference
+    run_training.py pretrained-weights path + load_pretrained_weights.py).
+    Accepts this framework's .pkl checkpoints AND reference torch .pth
+    files (converted on the fly), enabling
+    ``mvdseg_train … -pretrained_weights checkpoint_final.pth`` as the
+    fine-tune-a-reference-model migration path. Segmentation heads are
+    never transferred (reference semantics)."""
+    import flax
+    import numpy as np
+    source, src_stats = _load_pretrained_source(weights_file)
     target = flax.serialization.to_state_dict(trainer.state.params)
 
-    def merge(dst, src, path=""):
+    def merge(dst, src, depth=0):
         loaded, skipped = 0, 0
         for k, v in dst.items():
+            if depth == 0 and _SEG_HEAD_SCOPE.match(k):
+                skipped += _n_leaves(v)
+                continue
             if k not in src:
-                skipped += 1
+                skipped += _n_leaves(v)
                 continue
             if isinstance(v, dict):
-                l, s = merge(v, src[k], path + "/" + k)
+                l, s = merge(v, src[k], depth + 1)
                 loaded += l
                 skipped += s
             elif np.shape(v) == np.shape(src[k]):
@@ -99,12 +134,24 @@ def load_pretrained_weights(trainer, weights_file: str):
                 skipped += 1
         return loaded, skipped
 
+    def _n_leaves(t):
+        return sum(_n_leaves(v) for v in t.values()) \
+            if isinstance(t, dict) else 1
+
     loaded, skipped = merge(target, source)
     params = flax.serialization.from_state_dict(trainer.state.params, target)
     trainer.state = trainer.state.replace(params=params)
+    stats_note = ""
+    if src_stats and getattr(trainer.state, "batch_stats", None):
+        tstats = flax.serialization.to_state_dict(trainer.state.batch_stats)
+        sl, ss = merge(tstats, src_stats)
+        trainer.state = trainer.state.replace(
+            batch_stats=flax.serialization.from_state_dict(
+                trainer.state.batch_stats, tstats))
+        stats_note = f"; batch_stats: {sl} taken, {ss} skipped"
     trainer.print_to_log_file(
         f"Loaded pretrained weights from {weights_file}: {loaded} tensors "
-        f"taken, {skipped} skipped (shape/name mismatch)")
+        f"taken, {skipped} skipped (seg heads/shape/name){stats_note}")
 
 
 def initialize_multi_host(coordinator_address: Optional[str] = None,

@@ -298,3 +298,60 @@ def test_forward_parity_s2d(torch_net_and_input):
         assert o.shape == r.shape
         rel = np.abs(o - r).max() / (np.abs(r).max() + 1e-9)
         assert rel < 1e-4, rel
+
+
+def test_load_pretrained_weights_from_torch_pth(torch_net_and_input,
+                                                tmp_path):
+    """run/run_training.py::load_pretrained_weights accepts a raw reference
+    .pth (converted on the fly) and transfers every matching tensor EXCEPT
+    the segmentation heads (reference load_pretrained_weights.py:21-23) —
+    the fine-tune-a-reference-model migration path."""
+    from multimodal_mvd_seg_tpu.models.unet import PlainConvUNetCF
+    from multimodal_mvd_seg_tpu.run.run_training import (
+        load_pretrained_weights)
+
+    tnet, _ = torch_net_and_input
+    pth = tmp_path / "checkpoint_final.pth"
+    torch.save({"network_weights": tnet.state_dict()}, pth)
+
+    # a trainer-built net of the same architecture (framework-native SAME
+    # padding — pretraining transfer does not require voxel alignment)
+    net = PlainConvUNetCF(
+        features_per_stage=FEATURES, n_conv_per_stage_encoder=[2] * 3,
+        n_conv_per_stage_decoder=[2] * 2, kernel_sizes=[[3, 3, 3]] * 3,
+        strides=[[s] * 3 for s in STRIDES], num_classes=N_CLASSES,
+        deep_supervision=True, dtype=jnp.float32, seg_dtype=jnp.float32)
+    x = jnp.zeros((1, 8, 12, 16, IN_CH), jnp.float32)
+    params = jax.jit(lambda r: net.init(r, x, train=False))(
+        jax.random.PRNGKey(7))["params"]
+
+    class _State:
+        def __init__(self, params):
+            self.params = params
+            self.batch_stats = None
+
+        def replace(self, **kw):
+            new = _State(kw.get("params", self.params))
+            return new
+
+    class _Stub:
+        state = _State(params)
+
+        def print_to_log_file(self, *a, **k):
+            pass
+
+    stub = _Stub()
+    load_pretrained_weights(stub, str(pth))
+    out = stub.state.params
+    from multimodal_mvd_seg_tpu.model_sharing.torch_import import (
+        convert_plain_conv_unet, load_network_weights)
+    converted = convert_plain_conv_unet(load_network_weights(str(pth)))
+    # encoder tensors transferred exactly
+    np.testing.assert_array_equal(
+        np.asarray(out["encoder_stage0"]["block0"]["conv"]["kernel"]),
+        converted["encoder_stage0"]["block0"]["conv"]["kernel"])
+    # seg heads NOT transferred (kept at their fresh init)
+    assert np.array_equal(np.asarray(out["seg0"]["kernel"]),
+                          np.asarray(params["seg0"]["kernel"]))
+    assert not np.array_equal(np.asarray(out["seg0"]["kernel"]),
+                              converted["seg0"]["kernel"])
