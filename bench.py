@@ -25,12 +25,17 @@ import optax
 A100_STEPS_PER_S = 250.0 / 120.0
 
 
-def build_step(s2d_layout: str = None):
+def build_step(s2d_layout: str = None, return_parts: bool = False):
     """The benchmark train step and its example arguments, unjitted —
     shared with batch_running/hlo_bytes.py (per-instruction HBM byte
     attribution of this exact executable). ``s2d_layout`` picks the cell
     layout of the space-to-depth stages ("NC"/"NL", see ops/s2d.py);
-    default from $MVDSEG_BENCH_S2D_LAYOUT, falling back to "NC"."""
+    default from $MVDSEG_BENCH_S2D_LAYOUT, falling back to "NC".
+
+    ``return_parts``: additionally return a dict of the step's pieces
+    (eval fwd, train fwd, fwd+bwd, DS loss alone, optimizer alone), each
+    an unjitted closure — batch_running/mfu.py times them for the
+    per-part rows of documentation/tpu_performance.md's MFU table."""
     import os
     if s2d_layout is None:
         s2d_layout = os.environ.get("MVDSEG_BENCH_S2D_LAYOUT", "NC")
@@ -99,7 +104,37 @@ def build_step(s2d_layout: str = None):
     data = jnp.asarray(rs.normal(size=(batch, channels, *patch)),
                        jnp.bfloat16)
     seg = jnp.asarray(rs.randint(0, classes, (batch, *patch)), jnp.int32)
-    return train_step, (params, opt_state, data, seg)
+    if not return_parts:
+        return train_step, (params, opt_state, data, seg)
+
+    def fwd_eval(params, data):
+        return net.apply({"params": params},
+                         jnp.moveaxis(data, 1, -1), train=False)
+
+    def fwd_train(params, data):
+        return net.apply({"params": params},
+                         jnp.moveaxis(data, 1, -1), train=True)
+
+    def fwd_bwd(params, data, seg):
+        targets = downsample_seg_for_ds(seg, ds_scales)
+
+        def loss_fn(p):
+            outs = net.apply({"params": p}, jnp.moveaxis(data, 1, -1),
+                             train=True)
+            return loss_obj(outs, targets)
+        return jax.value_and_grad(loss_fn)(params)
+
+    def ds_loss(outs, seg):
+        return loss_obj(outs, downsample_seg_for_ds(seg, ds_scales))
+
+    def opt_update(params, opt_state, grads):
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2
+
+    parts = {"fwd_eval": fwd_eval, "fwd_train": fwd_train,
+             "fwd_bwd": fwd_bwd, "ds_loss": ds_loss,
+             "opt_update": opt_update}
+    return train_step, (params, opt_state, data, seg), parts
 
 
 def main():

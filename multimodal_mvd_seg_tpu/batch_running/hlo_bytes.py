@@ -67,7 +67,8 @@ def _split_instruction(line: str):
             rhs[mo.end():])
 
 
-def rank_entry_instructions(hlo_text: str, top: int = 40):
+def rank_entry_instructions(hlo_text: str, top: int = 40,
+                            computation: str = None):
     """Parse the optimized HLO module text; return (rows, totals).
 
     rows: (bytes, opcode, name, result_shape, op_name_metadata), entry
@@ -76,9 +77,19 @@ def rank_entry_instructions(hlo_text: str, top: int = 40):
     inside the call parens for the entry computation after optimization
     -- when it doesn't, we fall back to the result-shape-only count and
     mark the row approximate).
+
+    ``computation``: rank a named non-entry computation instead (e.g. a
+    while body — substring match on the computation header line).
     """
-    # find the entry computation: "ENTRY %name (...) -> ... {" ... "}"
-    m = re.search(r"^ENTRY ", hlo_text, re.M)
+    if computation is not None:
+        m = re.search(r"^%?[\w.-]*" + re.escape(computation)
+                      + r"[\w.-]* \([^)]*\) -> ", hlo_text, re.M)
+        if m is None:
+            raise ValueError(
+                f"no computation matching {computation!r} in HLO text")
+    else:
+        # find the entry computation: "ENTRY %name (...) -> ... {" ... "}"
+        m = re.search(r"^ENTRY ", hlo_text, re.M)
     if m is None:
         raise ValueError("no ENTRY computation in HLO text")
     body_start = hlo_text.index("{", m.start()) + 1
@@ -160,16 +171,20 @@ def main():
         print(f"cost_analysis: {ca.get('flops', 0)/1e12:.2f} TFLOP, "
               f"{ca.get('bytes accessed', 0)/1e9:.1f} GB counted")
 
-    rows, total, by_opcode = rank_entry_instructions(txt, args.top)
-    print(f"\nstatic operand+result bytes over entry instructions: "
-          f"{total/1e9:.1f} GB")
-    print("\nby opcode:")
-    for op, b in list(by_opcode.items())[:12]:
-        print(f"  {op:<24s} {b/1e9:8.2f} GB")
-    print(f"\ntop {args.top} instructions:")
-    for b, opcode, name, shape, meta in rows:
-        meta = (meta[:110] + "…") if len(meta) > 110 else meta
-        print(f"  {b/1e6:9.1f} MB  {opcode:<16s} {shape[:48]:<48s} {meta}")
+    for comp in [None] + ([args.computation] if args.computation else []):
+        rows, total, by_opcode = rank_entry_instructions(
+            txt, args.top, computation=comp)
+        where = "entry" if comp is None else f"computation {comp!r}"
+        print(f"\nstatic operand+result bytes over {where} instructions: "
+              f"{total/1e9:.1f} GB")
+        print("\nby opcode:")
+        for op, b in list(by_opcode.items())[:12]:
+            print(f"  {op:<24s} {b/1e9:8.2f} GB")
+        print(f"\ntop {args.top} instructions:")
+        for b, opcode, name, shape, meta in rows:
+            meta = (meta[:110] + "…") if len(meta) > 110 else meta
+            print(f"  {b/1e6:9.1f} MB  {opcode:<16s} {shape[:48]:<48s} "
+                  f"{meta}")
 
 
 if __name__ == "__main__":

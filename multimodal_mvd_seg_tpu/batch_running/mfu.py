@@ -55,7 +55,8 @@ def main():
 
     import bench
     print("devices:", jax.devices(), flush=True)
-    step, (params, opt_state, data, seg) = bench.build_step()
+    step, (params, opt_state, data, seg), parts = bench.build_step(
+        return_parts=True)
     jstep = jax.jit(step)
     comp = jstep.lower(params, opt_state, data, seg).compile()
     ca = comp.cost_analysis()
@@ -72,6 +73,20 @@ def main():
           f"({flops / dt / 1e12 / args.peak_tf * 100:.0f}% MFU) | "
           f"{byts / dt / 1e9:.0f} GB/s "
           f"({byts / dt / 1e9 / args.peak_gbs * 100:.0f}% HBM)", flush=True)
+
+    # per-part rows of the MFU table (documentation/tpu_performance.md)
+    _timed("eval fwd", jax.jit(parts["fwd_eval"]), params, data,
+           n=args.steps)
+    _timed("fwd+bwd (incl. DS loss)", jax.jit(parts["fwd_bwd"]),
+           params, data, seg, n=args.steps)
+    outs = jax.jit(parts["fwd_train"])(params, data)
+    outs = jax.block_until_ready(outs)
+    _timed("DS loss alone", jax.jit(parts["ds_loss"]), outs, seg,
+           n=args.steps)
+    _, grads = jax.jit(parts["fwd_bwd"])(params, data, seg)
+    grads = jax.block_until_ready(grads)
+    _timed("optimizer alone", jax.jit(parts["opt_update"]),
+           params, opt_state, grads, n=args.steps)
 
     # roofline floors at the compiled executable's own counts
     print(f"roofline floors: compute {flops / args.peak_tf / 1e12 * 1000:.0f}"

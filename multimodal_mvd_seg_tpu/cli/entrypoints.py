@@ -401,16 +401,10 @@ def import_torch_checkpoint_entry():
         pickle.dump(payload, f)
     with open(a.out + ".json", "w") as f:
         json.dump(kwargs, f, indent=2)
-    n = sum(x.size for x in jax_tree_leaves(params))
+    import jax
+    n = sum(x.size for x in jax.tree.leaves(params))
     print(f"converted {payload['architecture']}: {n:,} parameters "
           f"-> {a.out}.pkl (+.json)")
-
-
-def jax_tree_leaves(tree):
-    out = []
-    for v in tree.values():
-        out.extend(jax_tree_leaves(v) if isinstance(v, dict) else [v])
-    return out
 
 
 def import_torch_model_folder_entry():

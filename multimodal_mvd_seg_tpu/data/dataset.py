@@ -45,6 +45,29 @@ class MVDSegDataset:
     def items(self):
         return self.dataset.items()
 
+    def case_shape(self, key: str):
+        """(spatial_shape, n_channels, properties) without loading voxels:
+        unpacked .npy headers are read directly (np.lib.format), npz members
+        via their zip-local headers — keeps eligibility probes (e.g.
+        DeviceCachedLoader.supports) from decompressing the dataset."""
+        entry = self[key]
+        data_npy = entry['data_file'][:-4] + ".npy"
+        properties = load_pickle(entry['properties_file'])
+        try:
+            if isfile(data_npy):
+                with open(data_npy, "rb") as f:
+                    version = np.lib.format.read_magic(f)
+                    shape, _, _ = np.lib.format._read_array_header(f, version)
+            else:
+                import zipfile
+                with zipfile.ZipFile(entry['data_file']) as zf, \
+                        zf.open("data.npy") as f:
+                    version = np.lib.format.read_magic(f)
+                    shape, _, _ = np.lib.format._read_array_header(f, version)
+        except Exception:
+            return None, None, properties
+        return tuple(shape[1:]), int(shape[0]), properties
+
     def load_case(self, key: str) -> Tuple[np.ndarray, np.ndarray, dict]:
         entry = self[key]
         data_npy = entry['data_file'][:-4] + ".npy"

@@ -83,7 +83,7 @@ class DeviceCachedLoader:
     def _estimate_bytes(sampler: PatchSampler,
                         itemsize_data: int = 2) -> int:
         """Upper bound from case shapes alone (no voxel loads): every case
-        padded to the common elementwise-max of max(shape, patch)."""
+        padded front+back by ceil(need/2) (the _build_cache geometry)."""
         patch = np.array(sampler.patch_size)
         common = np.zeros(3, np.int64)
         n_channels = None
@@ -93,7 +93,9 @@ class DeviceCachedLoader:
             if shape is None:
                 data, seg, _ = sampler.dataset.load_case(key)
                 shape, c = data.shape[1:], data.shape[0]
-            common = np.maximum(common, np.maximum(np.array(shape), patch))
+            shape = np.array(shape)
+            pad = (np.maximum(0, patch - shape) + 1) // 2
+            common = np.maximum(common, shape + 2 * pad)
             n_channels = c if n_channels is None else max(n_channels, c)
         vox = int(np.prod(common))
         n = len(sampler.keys)
@@ -110,12 +112,15 @@ class DeviceCachedLoader:
             data, seg, props = s.dataset.load_case(key)
             shape = np.array(data.shape[1:])
             need = np.maximum(0, patch - shape)
-            pad_front = need // 2
-            # after front/back padding by need_to_pad the whole bbox range of
-            # _get_bbox (incl. negative lbs) is in-bounds at offset pad_front
+            # _get_bbox draws starts in [-ceil(need/2), shape+ceil(need/2)
+            # -patch] (lbs = -need//2 in PYTHON floor semantics on the
+            # negated value; ubs adds need//2 + need%2) — BOTH pads must be
+            # ceil(need/2) or odd-need axes clamp the dynamic_slice start
+            # and shift the patch one voxel vs the host sampler
+            pad = (need + 1) // 2
             cases.append((np.asarray(data), np.asarray(seg[:1]), props,
-                          shape, pad_front, need - pad_front))
-            common = np.maximum(common, shape + need)
+                          shape, pad, pad))
+            common = np.maximum(common, shape + 2 * pad)
         n = len(cases)
         c = max(d.shape[0] for d, *_ in cases)
         seg_max = max(int(sg.max(initial=0)) for _, sg, *_ in cases)

@@ -69,10 +69,15 @@ def paired_significance(a: Sequence[float], b: Sequence[float]) -> dict:
     from scipy import stats
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
-    if a.shape != b.shape or a.size < 2:
+    if a.shape != b.shape:
         raise ValueError("need two matched samples with n >= 2")
     keep = ~(np.isnan(a) | np.isnan(b))
     a, b = a[keep], b[keep]
+    # validity check AFTER dropping NaN pairs — heavily-NaN inputs must hit
+    # this error, not produce n=0/1 nan statistics downstream
+    if a.size < 2:
+        raise ValueError("need two matched samples with n >= 2 "
+                         f"(only {a.size} non-NaN pair(s))")
     t, t_p = stats.ttest_rel(a, b)
     if np.allclose(a, b):
         w, w_p = np.nan, 1.0  # wilcoxon is undefined on all-zero diffs

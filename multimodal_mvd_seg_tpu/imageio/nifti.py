@@ -133,12 +133,22 @@ def write_nifti(fname: str, data: np.ndarray, header: Union[dict, None] = None,
         struct.pack_into("<i", hdr, 0, 348)
         struct.pack_into("<8f", hdr, 76, 1.0, *(spacing or (1.0,) * 3)[:3],
                          *([1.0] * (7 - 3 - 0)))
-        # identity sform
-        struct.pack_into("<h", hdr, 254, 1)
-        sp = list(spacing or (1.0, 1.0, 1.0))
-        struct.pack_into("<4f", hdr, 280, sp[0], 0, 0, 0)
-        struct.pack_into("<4f", hdr, 296, 0, sp[1], 0, 0)
-        struct.pack_into("<4f", hdr, 312, 0, 0, sp[2], 0)
+        if header is not None and header.get("srow") is not None \
+                and header.get("sform_code", 0) > 0:
+            # NIfTI-2 (or big-endian) source: no reusable raw NIfTI-1
+            # header, but the parsed sform carries the orientation/origin —
+            # write it so segmentations stay aligned with their images
+            struct.pack_into("<h", hdr, 254, int(header["sform_code"]))
+            srow = np.asarray(header["srow"], np.float64)
+            for r in range(3):
+                struct.pack_into("<4f", hdr, 280 + 16 * r, *srow[r])
+        else:
+            # identity sform
+            struct.pack_into("<h", hdr, 254, 1)
+            sp = list(spacing or (1.0, 1.0, 1.0))
+            struct.pack_into("<4f", hdr, 280, sp[0], 0, 0, 0)
+            struct.pack_into("<4f", hdr, 296, 0, sp[1], 0, 0)
+            struct.pack_into("<4f", hdr, 312, 0, 0, sp[2], 0)
         hdr[344:348] = b"n+1\x00"
 
     ndim = data.ndim

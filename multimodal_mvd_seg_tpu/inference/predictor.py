@@ -386,6 +386,14 @@ class MVDSegPredictor:
                 if nxt is not None:
                     pending.append(prep_pool.submit(_prep, nxt))
                 logits = self.predict_preprocessed_case(data)
+                # bounded export backlog: each queued entry retains a full
+                # classes×volume logits array — without backpressure a slow
+                # export (resample + gzip write) makes host memory grow with
+                # case count (reference predict_from_raw_data.py:365-374
+                # throttles on proceed_to_... the same way)
+                while len([f for f in export_futures if not f.done()]) \
+                        > n_export + 1:
+                    next(f for f in export_futures if not f.done()).result()
                 export_futures.append(export_pool.submit(
                     export_prediction_from_logits, logits, properties,
                     self.configuration_manager, self.plans_manager,

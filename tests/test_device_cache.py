@@ -63,3 +63,50 @@ def test_supports_gating(synthetic_raw_dataset):
     assert not DeviceCachedLoader.supports(sc)
     with pytest.raises(ValueError):
         DeviceCachedLoader(s2)
+
+
+def test_device_cache_odd_need_parity(synthetic_raw_dataset):
+    """Odd need_to_pad axes: _get_bbox draws lbs down to -ceil(need/2)
+    (Python floor on the negated value), so the cache must pad ceil(need/2)
+    on BOTH sides — floor padding clamps the dynamic_slice start and shifts
+    the patch one voxel (round-2 review finding)."""
+    ds = _preprocess(synthetic_raw_dataset)
+    # odd patch dims force odd need on every axis of every case
+    sampler = PatchSampler(ds, batch_size=4, patch_size=(21, 29, 35),
+                           oversample_foreground_percent=0.33)
+    loader = DeviceCachedLoader(sampler, seed=11, cache_dtype=np.float32)
+    hit_negative = False
+    for step in range(6):
+        d_dev, s_dev = next(loader)
+        rng = np.random.RandomState((11 * 1000003 + step) % (2 ** 31 - 1))
+        d_host, s_host = sampler.generate_batch(rng)
+        np.testing.assert_array_equal(np.asarray(s_dev), s_host)
+        np.testing.assert_allclose(np.asarray(d_dev), d_host, atol=0)
+        # confirm the negative-lbs extreme actually occurred this run
+        rng2 = np.random.RandomState((11 * 1000003 + step) % (2 ** 31 - 1))
+        idx, starts = loader._sample_coords(rng2)
+        for j, i in enumerate(idx):
+            if np.any(starts[j] - loader._pad_fronts[i] < 0):
+                hit_negative = True
+    assert hit_negative
+
+
+def test_case_shape_without_voxel_loads(synthetic_raw_dataset):
+    """MVDSegDataset.case_shape reads npy/npz headers only; supports()'s
+    byte estimate must use it (no dataset decompression on eligibility
+    probes)."""
+    from multimodal_mvd_seg_tpu.data.dataset import MVDSegDataset, unpack_dataset
+    ds = _preprocess(synthetic_raw_dataset)
+    key = next(iter(ds.keys()))
+    data, _, props = ds.load_case(key)
+    # npz path (preprocessed output is packed)
+    shape, c, props2 = ds.case_shape(key)
+    assert shape == data.shape[1:] and c == data.shape[0]
+    assert props2.keys() == props.keys()
+    # unpacked npy path
+    import os
+    folder = os.path.dirname(ds[key]["data_file"])
+    unpack_dataset(folder, unpack_segmentation=True,
+                   overwrite_existing=False, num_processes=1)
+    shape, c, _ = ds.case_shape(key)
+    assert shape == data.shape[1:] and c == data.shape[0]

@@ -38,3 +38,29 @@ def test_rank_entry_instructions():
     assert fusion_row[0] == 2 * (4 * 128 * 4) + 2 * 8 * 128 * 2
     assert total == copy_row[0] + fusion_row[0]
     assert by_opcode["copy"] == copy_row[0]
+
+
+_HLO_WITH_BODY = _HLO + """
+%while_body.7 (arg: f32[8,128]) -> f32[8,128] {
+  %arg = f32[8,128]{1,0:T(8,128)} parameter(0)
+  %mul.3 = f32[8,128]{1,0:T(8,128)} multiply(%arg, %arg), metadata={op_name="jit(f)/mul"}
+  ROOT %copy.done = f32[8,128]{1,0:T(8,128)} copy(%mul.3)
+}
+"""
+
+
+def test_rank_named_computation():
+    """--computation ranks a non-entry computation (e.g. a while body)."""
+    rows, total, by_opcode = rank_entry_instructions(
+        _HLO_WITH_BODY, top=10, computation="while_body")
+    ops = {r[1] for r in rows}
+    assert ops == {"multiply", "copy"}
+    mul = next(r for r in rows if r[1] == "multiply")
+    assert mul[0] == 3 * (8 * 128 * 4)  # two operands + result
+    assert mul[4] == "jit(f)/mul"
+    # entry ranking unchanged by the extra computation in the module text
+    rows_e, _, _ = rank_entry_instructions(_HLO_WITH_BODY, top=10)
+    assert {r[1] for r in rows_e} == {"copy", "fusion"}
+    import pytest
+    with pytest.raises(ValueError, match="no computation"):
+        rank_entry_instructions(_HLO_WITH_BODY, computation="nope_xyz")

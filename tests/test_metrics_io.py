@@ -149,3 +149,25 @@ def test_nifti_4d_time_as_channels(tmp_path):
     assert data.shape == (3, 6, 5, 4)  # (t→c, k, j, i)
     np.testing.assert_allclose(data[1], arr[..., 1].T, rtol=1e-6)
     assert tuple(np.round(props["spacing"], 5)) == (2.0, 1.0, 0.5)
+
+
+def test_nifti2_seg_write_preserves_sform(tmp_path):
+    """Segmentations written against a NIfTI-2 source (raw_header=None)
+    must carry the source's sform orientation/origin, not an identity
+    rebuild from spacing (round-2 review finding)."""
+    from multimodal_mvd_seg_tpu.imageio.nifti import read_nifti, write_nifti
+    arr = np.random.RandomState(3).rand(4, 5, 6).astype(np.float32)
+    srow = np.array([[0.0, -0.7, 0.0, 12.5],
+                     [1.1, 0.0, 0.0, -30.0],
+                     [0.0, 0.0, 2.3, 7.75]])
+    src = str(tmp_path / "src2.nii.gz")
+    _write_nifti2(src, arr, spacing=(0.7, 1.1, 2.3), srow=srow)
+    _, hdr = read_nifti(src)
+    assert hdr["raw_header"] is None  # NIfTI-2: no reusable v1 header
+    out = str(tmp_path / "seg.nii.gz")
+    seg = (arr > 0.5).astype(np.uint8)
+    write_nifti(out, seg, header=hdr, spacing=(0.7, 1.1, 2.3))
+    back, hdr2 = read_nifti(out)
+    np.testing.assert_array_equal(back, seg)
+    assert hdr2["sform_code"] == 1
+    np.testing.assert_allclose(hdr2["srow"], srow, atol=1e-5)

@@ -280,3 +280,41 @@ def test_mvd_train_step_nl_layout(tmp_path):
     trainer.current_epoch = 0
     m = trainer.train_step(data, seg)
     assert np.isfinite(float(jax.device_get(m["loss"])))
+
+
+def test_mvd_pretrained_from_torch_checkpoint(mvd_trainer, tmp_path):
+    """-pretrained_weights with a raw reference MVD .pth on the
+    ContrastiveTrainer: encoder tensors + BatchNorm running stats transfer,
+    segmentation heads (out*) stay at their fresh init."""
+    import numpy as np
+    torch = pytest.importorskip("torch")
+    from test_contrastive_import import TContrastiveNet, _randomize
+    from multimodal_mvd_seg_tpu.run.run_training import (
+        load_pretrained_weights)
+
+    trainer = mvd_trainer
+    twin = TContrastiveNet(patch=PATCH, in_ch=2, n_classes=3, fs=16,
+                           dims=(32, 64, 128, 512), proj=(64, 64, 64, 32),
+                           depths=(1, 1, 1, 1), feat_dim=16)
+    _randomize(twin, seed=5)
+    pth = tmp_path / "mvd_ref.pth"
+    torch.save({"network_weights": twin.state_dict()}, pth)
+
+    before_out1 = np.asarray(
+        trainer.state.params["out1"]["conv"]["kernel"]).copy()
+    load_pretrained_weights(trainer, str(pth))
+    sd = twin.state_dict()
+    got = np.asarray(
+        trainer.state.params["share_encoder"]["stage0"]["down"]["kernel"])
+    np.testing.assert_array_equal(
+        got, sd["share_encoder.downsample_layers.0.0.conv.weight"].numpy())
+    # BatchNorm running stats came along into the MVD state
+    bs = np.asarray(trainer.state.batch_stats["share_encoder"]["stage0"]
+                    ["block0"]["conv51"]["norm1"]["mean"])
+    np.testing.assert_allclose(
+        bs, sd["share_encoder.stages.0.0.conv51.norm1.running_mean"].numpy(),
+        rtol=1e-6)
+    # seg heads untouched
+    np.testing.assert_array_equal(
+        np.asarray(trainer.state.params["out1"]["conv"]["kernel"]),
+        before_out1)

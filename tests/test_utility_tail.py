@@ -180,3 +180,15 @@ def test_statistical_significance_paired_tests():
     # duplicate case across summaries of one method is an error
     with pytest.raises(ValueError, match="more than one summary"):
         collect_metric_samples([sa[0], sa[0]], "Dice", 1)
+
+
+def test_paired_significance_nan_pairs_rejected():
+    """NaN pairs are dropped BEFORE the n>=2 validity check — heavily-NaN
+    inputs raise instead of returning nan statistics."""
+    import pytest
+    from multimodal_mvd_seg_tpu.evaluation.statistical_significance import (
+        paired_significance)
+    r = paired_significance([0.8, 0.7, np.nan], [0.6, 0.5, 0.4])
+    assert r["n"] == 2
+    with pytest.raises(ValueError, match="non-NaN"):
+        paired_significance([0.8, np.nan, np.nan], [0.6, 0.5, 0.4])
