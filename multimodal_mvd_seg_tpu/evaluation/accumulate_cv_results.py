@@ -36,6 +36,14 @@ def accumulate_cv_results(trained_model_folder: str,
     label_manager = plans_manager.get_label_manager(dataset_json)
     file_ending = dataset_json["file_ending"]
 
+    # carry plans/dataset.json like the reference — downstream
+    # determine_postprocessing reads them from the merged folder when a
+    # single model wins find_best_configuration
+    shutil.copy(join(trained_model_folder, "plans.json"),
+                join(merged_output_folder, "plans.json"))
+    shutil.copy(join(trained_model_folder, "dataset.json"),
+                join(merged_output_folder, "dataset.json"))
+
     for f in folds:
         val = join(trained_model_folder, f"fold_{f}", "validation")
         assert isdir(val), f"expected validation folder missing: {val}"

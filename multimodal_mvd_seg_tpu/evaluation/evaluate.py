@@ -82,6 +82,11 @@ def compute_metrics_on_folder(folder_ref: str, folder_pred: str,
 
     jobs = [(join(folder_ref, f), join(folder_pred, f), image_reader_writer,
              regions_or_labels, ignore_label) for f in files]
+    if not jobs:
+        raise RuntimeError(
+            f"no prediction in {folder_pred} matches a reference in "
+            f"{folder_ref} (file_ending {file_ending!r}) — nothing to "
+            f"evaluate")
     if num_processes <= 1:
         results = [compute_metrics(*j) for j in jobs]
     else:

@@ -10,6 +10,8 @@ a human-readable ``inference_instructions.txt``.
 import itertools
 from typing import List, Optional, Union
 
+import numpy as np
+
 from .. import paths
 from ..configuration import default_num_processes
 from ..ensembling.ensemble import ensemble_crossvalidations
@@ -111,7 +113,14 @@ def find_best_configuration(dataset_name_or_id,
                              "mean_fg_dice":
                                  summary["foreground_mean"]["Dice"]}
 
-    best_key = max(results, key=lambda k: results[k]["mean_fg_dice"])
+    def _score(k):
+        # summary.json stores NaN as null (json has no NaN) — rank those
+        # (and NaN) last instead of crashing the float/None comparison
+        v = results[k]["mean_fg_dice"]
+        return float(v) if isinstance(v, (int, float)) \
+            and not np.isnan(v) else -np.inf
+
+    best_key = max(results, key=_score)
     best = results[best_key]
     print(f"Best: {best_key} (mean fg Dice "
           f"{best['mean_fg_dice']:.4f})")

@@ -125,8 +125,11 @@ class DC_and_BCE_loss:
         bce_el = (jnp.maximum(logits, 0) - logits * target +
                   jnp.log1p(jnp.exp(-jnp.abs(logits))))
         if mask is not None:
-            bce = (bce_el * mask).sum() / jnp.clip(
-                mask.sum() * target.shape[-1], 1.0)
+            # upstream nnU-Net: (bce*mask).sum() / mask.sum() — the mask
+            # counts each voxel ONCE while bce sums over region channels,
+            # so no extra channel factor in the denominator (dividing by
+            # mask.sum()*C would weight CE 1/C of the reference run)
+            bce = (bce_el * mask).sum() / jnp.clip(mask.sum(), 1e-8)
         else:
             bce = bce_el.mean()
         return self.weight_dice * dc + self.weight_ce * bce

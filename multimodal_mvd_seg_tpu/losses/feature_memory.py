@@ -93,8 +93,19 @@ def add_features_learned(state: FeatureMemoryState,
     push_valid = jnp.isfinite(neg_top)
     pushed = jnp.take_along_axis(features, idx[..., None], axis=1)
 
-    new_memory = jnp.concatenate([pushed, state.memory], axis=1)
-    new_valid = jnp.concatenate([push_valid, state.valid], axis=1)
+    # each class's FIFO advances by ITS OWN number of valid pushes — a
+    # class with no candidates this batch keeps its memory untouched (the
+    # reference only appends when a class has new features; a fixed
+    # n_push shift would evict real entries for invalid rows). pushed is
+    # valid-first (invalid keyed=inf sorts last), so the kept rows are
+    # rows [0, n_valid) of pushed followed by rows [0, M - n_valid) of
+    # the old memory.
     m = state.memory.shape[1]
-    return FeatureMemoryState(memory=new_memory[:, :m],
-                              valid=new_valid[:, :m])
+    combined_m = jnp.concatenate([pushed, state.memory], axis=1)
+    combined_v = jnp.concatenate([push_valid, state.valid], axis=1)
+    n_valid = push_valid.sum(axis=1, keepdims=True)       # (C, 1)
+    j = jnp.arange(m)[None, :]
+    row = jnp.where(j < n_valid, j, j - n_valid + n_push)  # (C, M)
+    new_memory = jnp.take_along_axis(combined_m, row[..., None], axis=1)
+    new_valid = jnp.take_along_axis(combined_v, row, axis=1)
+    return FeatureMemoryState(memory=new_memory, valid=new_valid)

@@ -58,10 +58,17 @@ def soft_cldice_loss(pred: jnp.ndarray, target: jnp.ndarray,
     """soft-clDice (Shit et al., CVPR'21) on probability maps (B, *sp) or
     (B, *sp, 1): 1 − 2·tprec·tsens/(tprec+tsens) with topology precision /
     sensitivity computed from soft skeletons."""
-    if pred.ndim == target.ndim == len(pred.shape):
-        if pred.shape[-1] != 1:
-            pred = pred[..., None]
-            target = target[..., None]
+    # normalize both to an explicit trailing channel axis: soft_erode
+    # infers spatial rank as ndim-2, so a missing channel axis would run
+    # the morphology one dimension short
+    if pred.ndim == target.ndim + 1:
+        target = target[..., None]
+    elif pred.ndim != target.ndim:
+        raise ValueError(f"pred/target rank mismatch: {pred.shape} vs "
+                         f"{target.shape}")
+    if pred.shape[-1] != 1:
+        pred = pred[..., None]
+        target = target[..., None]
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     skel_p = soft_skel(pred, iterations)

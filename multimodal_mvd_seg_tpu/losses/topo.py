@@ -220,8 +220,12 @@ def topk_barcode_lengths(image: jnp.ndarray, dim: int, k: int,
     """Lengths of the k longest dim-d bars of the (super)level-set diagram,
     descending, zero-padded — reference topologylayer
     nn/features.py TopKBarcodeLengths semantics."""
+    # only_dim: keep the cap budget for dim-d bars — without it the
+    # birth-order truncation can crowd the longest dim-d bars out of a
+    # small cap on noisy maps (same reasoning as topo_wasserstein)
     out = cubical_persistence_pairs(image, maxdim=max(dim, image.ndim - 1),
-                                    cap=cap, superlevel=superlevel)
+                                    cap=cap, superlevel=superlevel,
+                                    only_dim=dim)
     keep = out["valid"] & (out["dims"] == dim) & out["finite"]
     lengths = jnp.where(keep, jnp.abs(out["death"] - out["birth"]), 0.0)
     top, _ = jax.lax.top_k(lengths, k)

@@ -151,8 +151,11 @@ def determine_postprocessing(folder_predictions: str, folder_ref: str,
                             [remove_all_but_largest_component_from_segmentation],
                             [kwargs], num_processes)
             pp_results = evaluate(out_here)
-            if pp_results["mean"][l_or_r]["Dice"] > \
-                    source_results["mean"][l_or_r]["Dice"]:
+            # compute_metrics stringifies tuple/list (region) keys —
+            # evaluate.py:53 — so index the mean dict the same way
+            mk = str(l_or_r) if isinstance(l_or_r, (tuple, list)) else l_or_r
+            if pp_results["mean"][mk]["Dice"] > \
+                    source_results["mean"][mk]["Dice"]:
                 best = join(output_folder, "temp",
                             "keep_largest_perClassOrRegion_currentBest")
                 if isdir(best):

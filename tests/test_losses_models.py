@@ -138,3 +138,22 @@ def test_factory_from_plans(synthetic_raw_dataset):
     x = jnp.zeros((1, *cfg.patch_size, 2), jnp.bfloat16)
     outs = net.apply(variables, x, train=False)
     assert outs[0].shape == (1, *cfg.patch_size, 3)
+
+
+def test_bce_loss_ignore_mask_denominator():
+    """Masked BCE divides by mask.sum() ONLY (upstream nnU-Net semantics:
+    channels are summed per voxel, the denominator counts voxels once)."""
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.normal(size=(1, 3, 3, 2)), jnp.float32)
+    regions = jnp.asarray(rng.rand(1, 3, 3, 2) > 0.5, jnp.float32)
+    ignore = jnp.zeros((1, 3, 3, 1)).at[0, 0, 0, 0].set(1.0)
+    target = jnp.concatenate([regions, ignore], axis=-1)
+    loss = DC_and_BCE_loss(use_ignore_label=True, weight_dice=0.0,
+                           weight_ce=1.0)
+    got = float(loss(logits, target))
+    lg = np.asarray(logits, np.float64)
+    bce_el = np.maximum(lg, 0) - lg * np.asarray(regions) + \
+        np.log1p(np.exp(-np.abs(lg)))
+    m = 1.0 - np.asarray(ignore)
+    want = (bce_el * m).sum() / m.sum()
+    assert got == pytest.approx(want, rel=1e-5)

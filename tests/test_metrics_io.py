@@ -171,3 +171,20 @@ def test_nifti2_seg_write_preserves_sform(tmp_path):
     np.testing.assert_array_equal(back, seg)
     assert hdr2["sform_code"] == 1
     np.testing.assert_allclose(hdr2["srow"], srow, atol=1e-5)
+
+
+def test_compute_metrics_on_folder_empty_match(tmp_path):
+    """No prediction/reference filename overlap raises an actionable error
+    instead of IndexError (chill=True default)."""
+    import pytest
+    from multimodal_mvd_seg_tpu.evaluation.evaluate import (
+        compute_metrics_on_folder)
+    from multimodal_mvd_seg_tpu.imageio.nifti import NiftiIO, write_nifti
+    ref, pred = tmp_path / "ref", tmp_path / "pred"
+    ref.mkdir(), pred.mkdir()
+    write_nifti(str(ref / "a.nii.gz"),
+                np.zeros((4, 4, 4), np.uint8))
+    with pytest.raises(RuntimeError, match="nothing to evaluate"):
+        compute_metrics_on_folder(str(ref), str(pred),
+                                  str(tmp_path / "summary.json"),
+                                  NiftiIO(), ".nii.gz", [1], None, 1)

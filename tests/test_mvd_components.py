@@ -192,3 +192,33 @@ def test_probe_forward_matches_dual_forward_bitwise():
         method="forward_vessel1"))(v, x)
     np.testing.assert_array_equal(np.asarray(full[0][0], np.float32),
                                   np.asarray(probe, np.float32))
+
+
+def test_feature_memory_no_candidates_keeps_bank():
+    """A class with zero (or partial) valid candidates must not have its
+    FIFO shifted — each class advances by ITS OWN valid-push count
+    (round-2 review finding: a fixed n_push shift evicted real entries
+    for rare classes absent from a batch)."""
+    from multimodal_mvd_seg_tpu.losses.feature_memory import (
+        add_features_learned, init_feature_memory)
+    state = init_feature_memory(n_classes=2, memory_per_class=4,
+                                feature_size=3)
+    feats = jnp.arange(2 * 5 * 3, dtype=jnp.float32).reshape(2, 5, 3)
+    mask_full = jnp.ones((2, 5), bool)
+    scores = jnp.asarray(np.random.RandomState(1).normal(size=(2, 5)))
+    # fill both banks completely
+    state = add_features_learned(state, feats, mask_full, scores, n_push=4)
+    assert int(state.valid.sum()) == 8
+    bank1_before = np.asarray(state.memory[1]).copy()
+    # next batch: class 1 has NO candidates, class 0 has 2
+    mask = jnp.array([[True, True, False, False, False],
+                      [False] * 5])
+    state2 = add_features_learned(state, feats + 100, mask, scores, n_push=4)
+    np.testing.assert_array_equal(np.asarray(state2.memory[1]), bank1_before)
+    assert int(state2.valid[1].sum()) == 4
+    # class 0 advanced by exactly 2: two new rows + two retained old rows
+    assert int(state2.valid[0].sum()) == 4
+    new_rows = np.asarray(state2.memory[0][:2])
+    assert np.all(new_rows >= 100)  # the fresh batch's features
+    np.testing.assert_array_equal(np.asarray(state2.memory[0][2:]),
+                                  np.asarray(state.memory[0][:2]))

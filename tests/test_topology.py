@@ -301,3 +301,18 @@ def test_topo_loss_zero_total_has_finite_grad():
         lambda p: topo_loss_from_match(p, match))(pred)
     assert float(val2) == 0.0
     assert np.isfinite(np.asarray(grad2)).all()
+
+
+def test_soft_cldice_channelless_target():
+    """pred (B,*sp,1) with target (B,*sp) must match both-channeled input
+    (the old guard was a tautology and ran 2D morphology on 3D targets)."""
+    import pytest
+    from multimodal_mvd_seg_tpu.losses.soft_skeleton import soft_cldice_loss
+    rng = np.random.RandomState(0)
+    p = jnp.asarray(rng.rand(1, 6, 6, 6, 1), jnp.float32)
+    t = jnp.asarray(rng.rand(1, 6, 6, 6) > 0.5, jnp.float32)
+    mixed = float(soft_cldice_loss(p, t, iterations=2))
+    both = float(soft_cldice_loss(p, t[..., None], iterations=2))
+    assert mixed == pytest.approx(both, rel=1e-6)
+    with pytest.raises(ValueError, match="rank mismatch"):
+        soft_cldice_loss(p, t[0])
