@@ -114,9 +114,15 @@ class DatasetFingerprintExtractor:
 
         shapes_after_crop = [r[0] for r in results]
         spacings = [r[1] for r in results]
-        fg_per_channel = [np.concatenate([np.asarray(r[2][i]).ravel()
-                                          for r in results if len(r[2][i]) > 0])
-                          for i in range(len(results[0][2]))]
+        # np.concatenate needs >=1 array — a channel with no foreground in
+        # ANY case (all-background dataset) falls through to the zeros(1)
+        # fallback below instead of crashing here
+        fg_per_channel = [
+            np.concatenate(chunks) if (chunks := [
+                np.asarray(r[2][i]).ravel()
+                for r in results if len(r[2][i]) > 0])
+            else np.zeros(0)
+            for i in range(len(results[0][2]))]
         median_relative_size = np.median([r[4] for r in results], 0)
 
         num_channels = len(self.dataset_json.get('channel_names',

@@ -31,7 +31,13 @@ def _open(fname: str, mode: str):
 def _parse_nifti1(raw: bytes, fname: str, endian: str):
     hdr = raw[:348]
     magic = hdr[344:348]
-    if magic[:3] not in (b"n+1", b"ni1"):
+    if magic[:3] == b"ni1":
+        # detached .hdr/.img pair: the voxels are NOT in this file —
+        # reading at offset 352 would return garbage or crash obscurely
+        raise ValueError(
+            f"{fname}: detached NIfTI-1 header/image pairs (.hdr/.img, "
+            f"magic 'ni1') are not supported — convert to single-file .nii")
+    if magic[:3] != b"n+1":
         raise ValueError(f"{fname}: unsupported NIfTI-1 magic {magic!r}")
     dim = struct.unpack_from(endian + "8h", hdr, 40)
     datatype, _bitpix = struct.unpack_from(endian + "2h", hdr, 70)
@@ -95,6 +101,12 @@ def read_nifti(fname: str, apply_scaling: bool = True):
     count = int(np.prod(shape))
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=offset)
     data = data.reshape(shape, order="F")
+    # NaN slope/inter mean "no scaling" in the wild (nibabel/SimpleITK
+    # treat them as 1/0) — NaN passes any != comparison, so check explicitly
+    if np.isnan(scl_slope):
+        scl_slope = 1.0
+    if np.isnan(scl_inter):
+        scl_inter = 0.0
     if apply_scaling and scl_slope not in (0.0, 1.0) or (apply_scaling and scl_inter != 0.0):
         data = data.astype(np.float32) * (scl_slope if scl_slope != 0.0 else 1.0) + scl_inter
     header = {
@@ -125,6 +137,9 @@ def write_nifti(fname: str, data: np.ndarray, header: Union[dict, None] = None,
         dt = data.dtype
     code = _CODES[np.dtype(dt.newbyteorder("="))] if dt.byteorder in (">",) else _CODES[dt]
 
+    # 2D callers may pass 2 spacing values — pad to 3 for the header math
+    if spacing is not None and len(spacing) < 3:
+        spacing = tuple(spacing) + (1.0,) * (3 - len(spacing))
     if header is not None and header.get("raw_header") is not None \
             and header.get("endian", "<") == "<":
         hdr = bytearray(header["raw_header"])
@@ -182,7 +197,8 @@ class NiftiIO(BaseReaderWriter):
         images, spacings, headers = [], [], []
         for f in image_fnames:
             data, hdr = read_nifti(f)
-            if data.ndim == 2:
+            was_2d = data.ndim == 2
+            if was_2d:
                 data = data[:, :, None]
             if data.ndim == 4:
                 # 4D-with-time file: the 4th storage axis becomes channels
@@ -195,9 +211,15 @@ class NiftiIO(BaseReaderWriter):
                 assert data.ndim == 3, \
                     f"{f}: only 2d/3d/4d images are supported"
                 images.append(data.T[None].astype(np.float32))  # (1,k,j,i)
-            spacings.append(tuple(reversed(hdr["zooms"][:3]))
-                            if data.ndim >= 3 else
-                            tuple(reversed(hdr["zooms"][:data.ndim])))
+            if was_2d:
+                # base-reader contract: 2D data reports 999 for the fake
+                # leading spatial axis (reference base_reader_writer.py) —
+                # the file's pixdim[3] is meaningless (often 0, which would
+                # fail the planner's spacing>0 assert)
+                spacings.append((999.0, float(hdr["zooms"][1]),
+                                 float(hdr["zooms"][0])))
+            else:
+                spacings.append(tuple(reversed(hdr["zooms"][:3])))
             headers.append(hdr)
         if not self._check_all_same([i.shape[1:] for i in images]):
             raise RuntimeError(f"Image shapes disagree: {image_fnames}")

@@ -79,15 +79,17 @@ def read_nrrd(fname: str) -> Tuple[np.ndarray, dict]:
         payload = zlib.decompress(payload)
     elif encoding in ("raw",):
         pass
-    elif encoding in ("txt", "text", "ascii"):
-        arr = np.array(payload.split(), dtype=dtype)
-        return arr.reshape(list(reversed(sizes))).T, {"fields": fields}
-    else:
+    elif encoding not in ("txt", "text", "ascii"):
         raise ValueError(f"{fname}: unsupported NRRD encoding {encoding!r}")
 
-    count = int(np.prod(sizes))
-    data = np.frombuffer(payload, dtype=dtype, count=count)
+    if encoding in ("txt", "text", "ascii"):
+        data = np.array(payload.split(), dtype=dtype)
+    else:
+        count = int(np.prod(sizes))
+        data = np.frombuffer(payload, dtype=dtype, count=count)
     # NRRD stores fastest axis first; C-order reshape needs reversed sizes
+    # (ascii shares the full header build below — spacing/sizes included,
+    # so nrrd_to_nifti works regardless of encoding)
     data = data.reshape(list(reversed(sizes))).T
 
     directions = None

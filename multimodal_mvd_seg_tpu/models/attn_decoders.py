@@ -302,8 +302,16 @@ class AttnUNetDecoderBase(nn.Module):
 
 
 def _distance_map(segmentation_onehot: np.ndarray) -> np.ndarray:
+    """Per-sample, per-channel EDT of a (B, C, *spatial) one-hot. A single
+    EDT over the whole array would measure distances across the batch and
+    channel axes too — with ≥2 classes every foreground voxel has a zero
+    at channel distance 1, degenerating the map to the mask itself."""
     from scipy.ndimage import distance_transform_edt
-    return distance_transform_edt(segmentation_onehot).astype(np.float32)
+    out = np.empty(segmentation_onehot.shape, np.float32)
+    for b in range(segmentation_onehot.shape[0]):
+        for c in range(segmentation_onehot.shape[1]):
+            out[b, c] = distance_transform_edt(segmentation_onehot[b, c])
+    return out
 
 
 class UNetDecoder5Wrapper(nn.Module):

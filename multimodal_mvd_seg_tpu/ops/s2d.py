@@ -174,7 +174,11 @@ class CellConvSpec:
                 pad_lo, pad_hi = _xla_same_pads(L_in, k, s)
                 pad_total = pad_lo + pad_hi
             L_out = _logical_out_len(L_in, k, s, pad_lo, pad_total)
-            assert L_out % f_o == 0 or ph_o, (L_out, f_o)
+            # phase-1 reps store L + 2 rows in f*n slots (one artifact row
+            # each end — _artifact_mask_np), so L must divide f in BOTH
+            # phases: an odd L with ph_o=1 would make the mask zero a real
+            # data row and undercount n_real
+            assert L_out % f_o == 0, (L_out, f_o, ph_o)
             n_out = L_out // f_o + ph_o
             entries, cs, p_min, p_max = solve_axis(
                 k, s, pad_lo, f_i, ph_i, f_o, ph_o)

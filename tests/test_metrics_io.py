@@ -188,3 +188,60 @@ def test_compute_metrics_on_folder_empty_match(tmp_path):
         compute_metrics_on_folder(str(ref), str(pred),
                                   str(tmp_path / "summary.json"),
                                   NiftiIO(), ".nii.gz", [1], None, 1)
+
+
+def test_nifti_nan_scl_slope_and_detached_pair(tmp_path):
+    import struct
+    import pytest
+    from multimodal_mvd_seg_tpu.imageio.nifti import read_nifti, write_nifti
+    arr = np.random.RandomState(4).rand(3, 4, 5).astype(np.float32)
+    f = str(tmp_path / "x.nii.gz")
+    write_nifti(f, arr)
+    import gzip
+    raw = bytearray(gzip.decompress(open(f, "rb").read()))
+    # NaN scl_slope/inter mean "no scaling" in the wild
+    struct.pack_into("<2f", raw, 112, float("nan"), float("nan"))
+    g = str(tmp_path / "nan_slope.nii")
+    open(g, "wb").write(bytes(raw))
+    back, _ = read_nifti(g)
+    np.testing.assert_allclose(back, arr, rtol=1e-6)
+    # detached .hdr/.img pairs are rejected with a clear message
+    raw[344:348] = b"ni1\x00"
+    h = str(tmp_path / "detached.hdr")
+    open(h, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="detached"):
+        read_nifti(h)
+
+
+def test_nifti_2d_spacing_contract(tmp_path):
+    """2D NIfTI: the fake leading spatial axis reports spacing 999 (base
+    reader contract), not the file's meaningless pixdim[3]."""
+    from multimodal_mvd_seg_tpu.imageio.nifti import NiftiIO, write_nifti
+    arr = np.random.RandomState(5).rand(7, 9).astype(np.float32)
+    f = str(tmp_path / "flat.nii.gz")
+    write_nifti(f, arr, spacing=(0.5, 0.25))
+    data, props = NiftiIO().read_images([f])
+    assert data.shape == (1, 1, 9, 7)
+    assert props["spacing"][0] == 999.0
+    assert tuple(np.round(props["spacing"][1:], 5)) == (0.25, 0.5)
+
+
+def test_nrrd_ascii_encoding_full_header(tmp_path):
+    """ASCII-encoded NRRDs parse spacing/sizes like binary ones (the old
+    early-return lost everything but raw fields)."""
+    from multimodal_mvd_seg_tpu.imageio.nrrd import read_nrrd
+    arr = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    body = " ".join(str(v) for v in arr.T.ravel())  # fastest axis first
+    hdr = ("NRRD0004\n"
+           "type: short\n"
+           "dimension: 3\n"
+           "sizes: 2 3 4\n"
+           "spacings: 0.5 1.0 2.0\n"
+           "encoding: ascii\n"
+           "\n")
+    f = str(tmp_path / "a.nrrd")
+    open(f, "wb").write(hdr.encode() + body.encode())
+    data, header = read_nrrd(f)
+    np.testing.assert_array_equal(data, arr)
+    assert header["sizes"] == [2, 3, 4]
+    assert header["spacing"] == [0.5, 1.0, 2.0]

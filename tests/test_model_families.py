@@ -162,3 +162,22 @@ def test_hybridnet_variant_bindings():
     assert H.HybridNet_v4.share_mode == "joint"
     assert H.HybridNet_v5.skip_fusion == "enhanced"
     assert H.HybridNet_v6.skip_fusion == "none"
+
+
+def test_distance_map_per_sample_per_channel():
+    """The EDT callback must run per (sample, channel): a joint EDT over
+    (B, C, *sp) sees zeros one channel-step away from every foreground
+    voxel and degenerates to the mask itself (round-2 review finding)."""
+    from scipy.ndimage import distance_transform_edt
+    from multimodal_mvd_seg_tpu.models.attn_decoders import _distance_map
+    onehot = np.zeros((2, 3, 5, 5, 5), np.float32)
+    onehot[:, 0] = 1.0
+    onehot[0, 0, 2, 2, 2] = 0.0
+    onehot[0, 1, 2, 2, 2] = 1.0
+    got = _distance_map(onehot)
+    for b in range(2):
+        for c in range(3):
+            np.testing.assert_allclose(
+                got[b, c], distance_transform_edt(onehot[b, c]))
+    # the degenerate joint-EDT result would cap channel-0 at 1.0 everywhere
+    assert got[1, 0].max() > 1.0

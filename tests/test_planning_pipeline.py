@@ -56,3 +56,41 @@ def test_fingerprint_plan_preprocess(synthetic_raw_dataset):
     assert len(props["class_locations"][2]) > 0
     assert "bbox_used_for_cropping" in props
     assert "shape_before_cropping" in props
+
+
+def test_fingerprint_all_background_dataset(tmp_path, monkeypatch):
+    """A dataset whose labels are all background still fingerprints (the
+    per-channel foreground concat used to crash on the empty list)."""
+    from multimodal_mvd_seg_tpu.imageio.nifti import write_nifti
+    from multimodal_mvd_seg_tpu.experiment_planning.generate_dataset_json import (
+        generate_dataset_json)
+    raw = tmp_path / "raw"
+    pre = tmp_path / "pre"
+    ds = raw / "Dataset002_Empty"
+    (ds / "imagesTr").mkdir(parents=True)
+    (ds / "labelsTr").mkdir(parents=True)
+    pre.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        write_nifti(str(ds / "imagesTr" / f"c{i}_0000.nii.gz"),
+                    rng.rand(8, 8, 8).astype(np.float32))
+        write_nifti(str(ds / "labelsTr" / f"c{i}.nii.gz"),
+                    np.zeros((8, 8, 8), np.uint8))
+    generate_dataset_json(str(ds), channel_names={0: "T1"},
+                          labels={"background": 0, "organ": 1},
+                          num_training_cases=2, file_ending=".nii.gz",
+                          dataset_name="Dataset002_Empty")
+    monkeypatch.setenv("MVDSEG_raw", str(raw))
+    monkeypatch.setenv("MVDSEG_preprocessed", str(pre))
+    monkeypatch.setenv("MVDSEG_results", str(tmp_path / "res"))
+    (tmp_path / "res").mkdir()
+    from multimodal_mvd_seg_tpu import paths
+    paths.refresh()
+    from multimodal_mvd_seg_tpu.experiment_planning.api import (
+        extract_fingerprints)
+    extract_fingerprints([2], num_processes=1)
+    import json
+    fp = json.load(open(pre / "Dataset002_Empty"
+                        / "dataset_fingerprint.json"))
+    stats = fp["foreground_intensity_properties_per_channel"]["0"]
+    assert np.isfinite(stats["mean"])

@@ -447,3 +447,14 @@ def test_unet_s2d_torch_padding_equivalence():
     o2 = net2.apply({"params": p0}, x, train=True)
     for a, b in zip(o0, o2):
         assert _rel_err(a, b) < 1e-4
+
+
+def test_cellconvspec_rejects_odd_phase1_length():
+    """A phase-1 output rep can only represent logical lengths divisible by
+    the factor (one artifact row per end); odd lengths must be rejected,
+    not silently mask out a real data row."""
+    from multimodal_mvd_seg_tpu.ops.s2d import CellConvSpec
+    with pytest.raises(AssertionError):
+        CellConvSpec((3,), (2,), ((2, 0),), ((2, 1),), (3,))
+    # the legit phase-up geometry still builds
+    CellConvSpec((3,), (1,), ((2, 0),), ((2, 1),), (4,))
