@@ -110,15 +110,20 @@ def _norm_impl() -> str:
     """Which instance-norm implementation to trace (read per trace so the
     perf campaign can A/B without re-importing):
 
-    - "vjp" (default): ops/norm_vjp.py — hand-written VJP; saves only the
-      bf16 input + (B, C) stats, backward is two bf16-read fusions. No
-      jax.checkpoint boundary, so XLA inserts no canonical-layout f32
-      copies around the norm (the biggest removable byte source found by
-      the offline HLO attribution of the round-1 step).
-    - "xla": the original jnp formulation below under jax.checkpoint.
+    - "xla" (default): the jnp two-reduction formulation below under
+      jax.checkpoint. MEASURED WINNER on the v5e bench step: 4.62 vs 3.91
+      steps/s against the custom-VJP form — XLA's remat schedule trades
+      the extra canonical-layout copies for better fusion of the stats
+      recompute into the backward convs, and on this chip the fusion wins.
+    - "vjp": ops/norm_vjp.py — hand-written VJP; saves only the bf16 input
+      + (B, C) stats, backward is two bf16-read fusions, no jax.checkpoint
+      boundary. Predicted to win by the offline HLO byte attribution
+      (fewer f32 relayout copies) but measured SLOWER end-to-end on chip;
+      kept for A/B and for memory-constrained shapes (it halves norm
+      residual memory).
     """
     import os
-    return os.environ.get("MVDSEG_NORM_IMPL", "vjp")
+    return os.environ.get("MVDSEG_NORM_IMPL", "xla")
 
 
 def instance_norm_act_cf(x, act: bool = True,
@@ -126,10 +131,12 @@ def instance_norm_act_cf(x, act: bool = True,
     """Instance norm (+ leaky relu) over the spatial axes of (B, C, *sp),
     fp32 statistics, output in the input dtype.
 
-    Default execution is the custom-VJP form (ops/norm_vjp.py, numerics
+    Default execution is the "xla" form below (measured fastest on chip;
+    see _norm_impl). The custom-VJP alternative (ops/norm_vjp.py, numerics
     bit-identical forward, textbook gradient — pinned against autodiff in
-    tests/test_norm_vjp.py). The "xla" fallback below is kept for A/B:
-    written as two fused reductions (E[x], E[x^2]) + one elementwise pass
+    tests/test_norm_vjp.py) is kept for A/B and low-memory shapes. The
+    xla form is written as two fused reductions (E[x], E[x^2]) + one
+    elementwise pass
     ``y = x*a + b`` with per-(B,C) coefficients: the naive
     ``(x - mean) * rsqrt(var)`` form makes XLA materialize full-size f32
     broadcasts of the keepdims stats and an f32 copy of x between the

@@ -352,11 +352,13 @@ def masked_instance_norm_act(x: jnp.ndarray, rep: Rep, scale, bias,
 
     layout "NC": x (B, C*F, *cells).  layout "NL": x (B, *cells, C*F).
 
-    Default execution is the custom-VJP form (ops/norm_vjp.py; same
-    forward numerics, hand-written backward that keeps f32 off HBM); set
-    MVDSEG_NORM_IMPL=xla for the original autodiff formulation below."""
+    Default execution is the autodiff formulation below ("xla" — the
+    measured winner on the v5e bench step, see models/blocks._norm_impl);
+    set MVDSEG_NORM_IMPL=vjp for the custom-VJP form (ops/norm_vjp.py;
+    same forward numerics, hand-written backward that keeps f32 off HBM —
+    fewer bytes but slower end-to-end on this chip)."""
     import os
-    if os.environ.get("MVDSEG_NORM_IMPL", "vjp") == "vjp":
+    if os.environ.get("MVDSEG_NORM_IMPL", "xla") == "vjp":
         from .norm_vjp import instance_norm_act
         return instance_norm_act(x, rep=tuple(rep), layout=layout,
                                  scale=scale, bias=bias, act=act)
