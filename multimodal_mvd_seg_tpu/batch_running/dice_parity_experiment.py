@@ -162,7 +162,22 @@ def run(epochs: int = 50, cases: int = 24, out_dir: str = "/tmp/parity",
             # when the budget is shorter than the reference's 200 epochs
             trainer.memory_start_epoch = epochs // 4
             trainer.contrastive_start_epoch = epochs // 2
-        trainer.run_training()
+        # auto-resume (the reference's --c): a dropped tunnel/host restart
+        # continues from checkpoint_latest instead of starting over
+        latest = os.path.join(trainer.output_folder, "checkpoint_latest.pkl")
+        final = os.path.join(trainer.output_folder, "checkpoint_final.pkl")
+        if os.path.isfile(final):
+            trainer.initialize()
+            trainer.load_checkpoint(final)
+            print(f"[{tag}] training already complete; validating",
+                  flush=True)
+        elif os.path.isfile(latest):
+            trainer.initialize()
+            trainer.load_checkpoint(latest)
+            print(f"[{tag}] resuming from epoch {trainer.current_epoch}",
+                  flush=True)
+        if not os.path.isfile(final):
+            trainer.run_training()
         summary = trainer.perform_actual_validation()
         val_folder = os.path.join(trainer.output_folder, "validation")
         entry = {

@@ -26,10 +26,31 @@ Data layout: CHANNELS-FIRST internally — data (b, c, *spatial) float32, seg
 blowup — measured 591 ms of a 1.5 s flagship MVD step. Channel-leading keeps
 the last two axes spatial (well-tiled). ``augment_batch(..,
 channels_first=False)`` keeps the legacy (b, *spatial, c) contract by
-transposing at the boundary; the random draws are identical in both modes."""
+transposing at the boundary; the random draws are identical in both modes.
 
+Execution modes (``mode=`` / env ``MVDSEG_AUG_MODE``):
+
+- "gated" (default): ``lax.scan`` over the batch with a real ``lax.cond``
+  around every expensive transform, so an untriggered transform costs
+  nothing at runtime. The reference pipeline's trigger probabilities are
+  low (rot/scale 0.2, blur 0.2, lowres 0.25, gamma 0.1/0.3, noise 0.1),
+  but the original vmap formulation executed EVERY transform every step
+  and selected with ``jnp.where`` (vmap lowers cond to select) — measured
+  617 ms of the flagship MVD step for an expected useful fraction of
+  ~30%. The untriggered spatial path is a static center-slice (+ fixed
+  half-voxel blend when the crop offset is fractional) instead of the
+  8-corner trilinear gather. Results match "vmap" mode to float-assoc
+  tolerance; the random DRAWS are identical (same per-sample key tree).
+- "vmap": the original fully-batched formulation (kept for A/B and for
+  very large 2D batches, where it is also the automatic fallback).
+
+Under a >1-device mesh pass ``mesh=`` so the gated scan runs per-shard
+inside ``shard_map`` (each device branches on its own samples; no
+cross-device predicate rendezvous)."""
+
+import os
 from functools import partial
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,22 +98,26 @@ def _rot2(k):
     return jnp.array([[c, -s], [s, c]])
 
 
-def _affine_coords(key, in_shape, out_shape, cfg: AugmentConfig):
-    """Sampling coordinates in the input patch for every output voxel:
-    rotation+scale about the center, identity when not triggered."""
-    dim = len(out_shape)
+def _affine_params(key, cfg: AugmentConfig):
+    """Per-sample spatial draws (cheap scalars, always evaluated so the
+    random stream is identical in gated and vmap modes)."""
     k_rot, k_ang, k_scl, k_sfac = jax.random.split(key, 4)
-
     do_rot = jax.random.uniform(k_rot) < cfg.p_rotation
     angles = jax.random.uniform(k_ang, (3,), minval=cfg.rotation[0],
                                 maxval=cfg.rotation[1])
     angles = jnp.where(do_rot, angles, jnp.zeros(3))
-
     do_scale = jax.random.uniform(k_scl) < cfg.p_scale
     scale = jax.random.uniform(k_sfac, (), minval=cfg.scale_range[0],
                                maxval=cfg.scale_range[1])
     scale = jnp.where(do_scale, scale, 1.0)
+    return do_rot, angles, do_scale, scale
 
+
+def _affine_coords_from(angles, scale, in_shape, out_shape,
+                        cfg: AugmentConfig):
+    """Sampling coordinates in the input patch for every output voxel:
+    rotation+scale about the center."""
+    dim = len(out_shape)
     if dim == 3:
         if cfg.do_dummy_2d:
             # rotate only in-plane (axes 1,2), full ±180° handled by cfg.rotation
@@ -118,14 +143,72 @@ def _map_coords(volume, coords, order: int):
                                              mode="nearest")
 
 
+def _identity_resample(vol, out_shape, order: int):
+    """Center-aligned crop of ``vol`` to ``out_shape`` matching
+    map_coordinates at identity coordinates: the per-axis offset
+    (in - out)/2 is static, so this is a slice when integral and a fixed
+    half-voxel blend of two slices (order 1) / a static round-half-even
+    gather (order 0) when fractional — no 2^dim-corner gather."""
+    for ax, (si, so) in enumerate(zip(vol.shape, out_shape)):
+        if si == so:
+            continue
+        off = (si - so) / 2.0
+        i = np.arange(so, dtype=np.float64) + off
+        if order == 0:
+            # jax map_coordinates rounds half AWAY FROM ZERO (lax.round),
+            # not numpy's half-to-even
+            r = np.where(i >= 0, np.floor(i + 0.5), np.ceil(i - 0.5))
+            idx = np.clip(r, 0, si - 1).astype(np.int32)
+            vol = jnp.take(vol, jnp.asarray(idx), axis=ax)
+        else:
+            f = np.floor(i)
+            t = float(i[0] - f[0])
+            lo = int(f[0])
+            if t == 0.0:
+                vol = jax.lax.slice_in_dim(vol, lo, lo + so, axis=ax)
+            else:
+                v0 = jax.lax.slice_in_dim(vol, lo, lo + so, axis=ax)
+                v1 = jax.lax.slice_in_dim(vol, lo + 1, lo + 1 + so, axis=ax)
+                vol = (1.0 - t) * v0 + t * v1
+    return vol
+
+
 def _spatial_one(key, data, seg, cfg: AugmentConfig):
     """data (c, *spatial), seg (*spatial)."""
     in_shape = seg.shape
-    coords = _affine_coords(key, in_shape, cfg.patch_size, cfg)
+    _, angles, _, scale = _affine_params(key, cfg)
+    coords = _affine_coords_from(angles, scale, in_shape, cfg.patch_size, cfg)
     data_out = jax.vmap(lambda v: _map_coords(v, coords, cfg.interp_order))(
         data)
     seg_out = _map_coords(seg.astype(jnp.float32), coords, 0).astype(jnp.int32)
     return data_out, seg_out
+
+
+def _spatial_one_gated(key, data, seg, cfg: AugmentConfig):
+    """Gated spatial transform: full affine gather only when rotation or
+    scaling triggered; static center-slice otherwise."""
+    in_shape = seg.shape
+    do_rot, angles, do_scale, scale = _affine_params(key, cfg)
+
+    def identity(operand):
+        d, s = operand
+        d2 = jax.vmap(lambda v: _identity_resample(
+            v, cfg.patch_size, cfg.interp_order))(d)
+        s2 = _identity_resample(s, cfg.patch_size, 0)
+        return d2.astype(d.dtype), s2
+
+    if cfg.p_rotation <= 0 and cfg.p_scale <= 0:
+        return identity((data, seg))
+
+    def warp(operand):
+        d, s = operand
+        coords = _affine_coords_from(angles, scale, in_shape,
+                                     cfg.patch_size, cfg)
+        d2 = jax.vmap(lambda v: _map_coords(v, coords, cfg.interp_order))(d)
+        s2 = _map_coords(s.astype(jnp.float32), coords, 0).astype(jnp.int32)
+        return d2, s2
+
+    return jax.lax.cond(do_rot | do_scale, warp, identity, (data, seg))
 
 
 def _gauss_kernel(sigma, radius: int):
@@ -265,6 +348,127 @@ def _mirror_one(key, data, seg, cfg: AugmentConfig):
     return data, seg
 
 
+def _cond(pred, fn, x):
+    """lax.cond that only pays for ``fn`` when taken (x unchanged else)."""
+    return jax.lax.cond(pred, fn, lambda v: v, x)
+
+
+def _intensity_one_gated(key, data, cfg: AugmentConfig):
+    """Same draws and taken-branch math as _intensity_one, with every
+    expensive transform under a real lax.cond."""
+    dim = data.ndim - 1
+    keys = jax.random.split(key, 10)
+
+    # gaussian noise (p_noise): the normal draw itself is the cost
+    if cfg.p_noise > 0:
+        do_noise = jax.random.uniform(keys[0]) < cfg.p_noise
+        var = jax.random.uniform(keys[1], (), minval=cfg.noise_var[0],
+                                 maxval=cfg.noise_var[1])
+        data = _cond(do_noise,
+                     lambda d: d + jax.random.normal(keys[2], d.shape)
+                     * jnp.sqrt(var), data)
+
+    # blur: 3 separable convs per channel
+    if cfg.p_blur > 0:
+        k_do, k_sig, k_ch = jax.random.split(keys[3], 3)
+        do = jax.random.uniform(k_do) < cfg.p_blur
+        sigma = jax.random.uniform(k_sig, (data.shape[0],),
+                                   minval=cfg.blur_sigma[0],
+                                   maxval=cfg.blur_sigma[1])
+        per_ch = jax.random.uniform(k_ch, (data.shape[0],)) \
+            < cfg.p_blur_per_channel
+
+        def blur(d):
+            def blur_channel(vol, s):
+                kern = _gauss_kernel(s, 3)
+                for ax in range(dim):
+                    vol = _blur_axis(vol, kern, ax)
+                return vol
+            blurred = jax.vmap(blur_channel)(d, sigma)
+            return jnp.where(per_ch.reshape((-1,) + (1,) * dim), blurred, d)
+
+        data = _cond(do, blur, data)
+
+    # brightness: one scalar multiply — not worth a cond
+    do_b = jax.random.uniform(keys[4]) < cfg.p_brightness
+    bfac = jax.random.uniform(keys[8], (), minval=cfg.brightness_range[0],
+                              maxval=cfg.brightness_range[1])
+    data = jnp.where(do_b, data * bfac, data)
+
+    # contrast: 3 reductions + clip
+    if cfg.p_contrast > 0:
+        do_c = jax.random.uniform(keys[5]) < cfg.p_contrast
+        cfac = jax.random.uniform(keys[9], (), minval=cfg.contrast_range[0],
+                                  maxval=cfg.contrast_range[1])
+
+        def contrast(d):
+            axes = tuple(range(1, d.ndim))
+            mean = d.mean(axis=axes, keepdims=True)
+            mn = d.min(axis=axes, keepdims=True)
+            mx = d.max(axis=axes, keepdims=True)
+            return jnp.clip((d - mean) * cfac + mean, mn, mx)
+
+        data = _cond(do_c, contrast, data)
+
+    # simulated low resolution: 2 gathers per axis
+    if cfg.p_lowres > 0:
+        k_do, k_z, k_ch = jax.random.split(keys[6], 3)
+        do = jax.random.uniform(k_do) < cfg.p_lowres
+        zoom = jax.random.uniform(k_z, (data.shape[0],),
+                                  minval=cfg.lowres_zoom[0],
+                                  maxval=cfg.lowres_zoom[1])
+        per_ch = jax.random.uniform(k_ch, (data.shape[0],)) \
+            < cfg.p_lowres_per_channel
+
+        def lowres(d):
+            def lr_channel(vol, z):
+                for ax in range(dim):
+                    vol = _lowres_axis(vol, z, ax, vol.shape[ax])
+                return vol
+            low = jax.vmap(lr_channel)(d, zoom)
+            return jnp.where(per_ch.reshape((-1,) + (1,) * dim), low, d)
+
+        data = _cond(do, lowres, data)
+
+    # gamma (inverted then normal): pow + 6 reductions each
+    k_g1, k_g2 = jax.random.split(keys[7])
+    for k_g, invert, p in ((k_g1, True, cfg.p_gamma_invert),
+                           (k_g2, False, cfg.p_gamma)):
+        if p <= 0:
+            continue
+        k_do, k_gam = jax.random.split(k_g)
+        do = jax.random.uniform(k_do) < p
+        gamma = jax.random.uniform(k_gam, (), minval=cfg.gamma_range[0],
+                                   maxval=cfg.gamma_range[1])
+
+        def apply_gamma(d, gamma=gamma, invert=invert):
+            x = -d if invert else d
+            mn = x.min()
+            rng_ = jnp.maximum(x.max() - mn, 1e-7)
+            mean, std = x.mean(), x.std()
+            y = jnp.power((x - mn) / rng_, gamma) * rng_ + mn
+            y = (y - y.mean()) / jnp.maximum(y.std(), 1e-7) * std + mean
+            return -y if invert else y
+
+        data = _cond(do, apply_gamma, data)
+
+    return data
+
+
+def _mirror_one_gated(key, data, seg, cfg: AugmentConfig):
+    dim = data.ndim - 1
+    flips = jax.random.uniform(key, (len(cfg.mirror_axes),)) < 0.5
+    for i, ax in enumerate(cfg.mirror_axes):
+        if ax >= dim:
+            continue
+        data, seg = jax.lax.cond(
+            flips[i],
+            lambda ds, ax=ax: (jnp.flip(ds[0], axis=ax + 1),
+                               jnp.flip(ds[1], axis=ax)),
+            lambda ds: ds, (data, seg))
+    return data, seg
+
+
 def _augment_one(key, data, seg, cfg: AugmentConfig):
     """data (c, *spatial), seg (*spatial)."""
     k_sp, k_int, k_mir = jax.random.split(key, 3)
@@ -274,19 +478,64 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
     return data, seg
 
 
-@partial(jax.jit, static_argnames=("cfg", "channels_first"))
+def _augment_one_gated(key, data, seg, cfg: AugmentConfig):
+    """Identical draws/taken-branch math to _augment_one; lax.cond gating."""
+    k_sp, k_int, k_mir = jax.random.split(key, 3)
+    data, seg = _spatial_one_gated(k_sp, data, seg, cfg)
+    data = _intensity_one_gated(k_int, data, cfg)
+    data, seg = _mirror_one_gated(k_mir, data, seg, cfg)
+    return data, seg
+
+
+def _augment_scan(keys, data, seg, cfg: AugmentConfig):
+    """Gated per-sample scan over the (local) batch: one trace, runtime
+    branching per sample."""
+    def body(carry, xs):
+        k, d, s = xs
+        d2, s2 = _augment_one_gated(k, d, s, cfg)
+        return carry, (d2, s2)
+
+    _, (data, seg) = jax.lax.scan(body, None, (keys, data, seg))
+    return data, seg
+
+
+def _aug_mode() -> str:
+    return os.environ.get("MVDSEG_AUG_MODE", "gated")
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "channels_first", "mode", "mesh"))
 def augment_batch(key: jax.Array, data: jnp.ndarray, seg: jnp.ndarray,
-                  cfg: AugmentConfig, channels_first: bool = False):
+                  cfg: AugmentConfig, channels_first: bool = False,
+                  mode: Optional[str] = None, mesh=None):
     """channels_first: data (b, c, *in_patch) float32 → (b, c, *patch_size)
     — the TPU fast path (see module docstring). Legacy mode: data
     (b, *in_patch, c) → (b, *cfg.patch_size, c). seg (b, *in_patch) int32 →
     (b, *cfg.patch_size) either way. The random draws are identical in both
-    modes (same per-sample key tree, same draw shapes)."""
+    modes (same per-sample key tree, same draw shapes).
+
+    mode: "gated" (runtime-branching scan; default via MVDSEG_AUG_MODE) or
+    "vmap" (original always-execute-and-select). mesh: pass the active
+    ``jax.sharding.Mesh`` when the batch axis is sharded so the gated scan
+    runs per-shard (shard_map) instead of scanning the global batch."""
+    if mode is None:
+        mode = _aug_mode()
     if not channels_first:
         data = jnp.moveaxis(data, -1, 1)
     keys = jax.random.split(key, data.shape[0])
-    data, seg = jax.vmap(lambda k, d, s: _augment_one(k, d, s, cfg))(
-        keys, data, seg)
+    if mode == "gated":
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            fn = shard_map(partial(_augment_scan, cfg=cfg), mesh=mesh,
+                           in_specs=(P("data"), P("data"), P("data")),
+                           out_specs=(P("data"), P("data")))
+            data, seg = fn(keys, data, seg)
+        else:
+            data, seg = _augment_scan(keys, data, seg, cfg)
+    else:
+        data, seg = jax.vmap(lambda k, d, s: _augment_one(k, d, s, cfg))(
+            keys, data, seg)
     if not channels_first:
         data = jnp.moveaxis(data, 1, -1)
     return data, seg

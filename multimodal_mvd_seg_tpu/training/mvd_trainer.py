@@ -347,7 +347,7 @@ class ContrastiveTrainer(MVDSegTrainer):
             k_aug, k_drop, k_mem, k_con = jax.random.split(key, 4)
             if self.topo_mode != "two_phase":
                 data, seg = augment_batch(k_aug, data, seg, aug_cfg,
-                                          channels_first=True)
+                                          channels_first=True, mesh=mesh)
             # two_phase: the probe jit already augmented this batch (same
             # k_aug) and handed the augmented arrays back — they arrive
             # here as device-resident inputs, so augmentation runs ONCE
@@ -440,7 +440,7 @@ class ContrastiveTrainer(MVDSegTrainer):
             never leave the device; only the small pooled maps do."""
             k_aug, k_drop, _, _ = jax.random.split(key, 4)
             data, seg = augment_batch(k_aug, data, seg, aug_cfg,
-                                      channels_first=True)
+                                      channels_first=True, mesh=mesh)
             seg_nn = jnp.maximum(seg, 0)
             logits1, _ = network.apply(
                 {"params": params, "batch_stats": batch_stats},

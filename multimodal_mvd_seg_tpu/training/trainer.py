@@ -340,7 +340,7 @@ class MVDSegTrainer:
             # below cancels against the model's internal (B,C,*sp) entry
             # transpose inside this jit, so no relayout is materialized
             data, seg = augment_batch(key, data, seg, aug_cfg,
-                                      channels_first=True)
+                                      channels_first=True, mesh=mesh)
             seg = jnp.maximum(seg, 0)  # RemoveLabelTransform(-1 → 0)
             data = jnp.moveaxis(data, 1, -1)
 

@@ -55,3 +55,51 @@ def test_seg_labels_preserved(batch):
     cfg = AugmentConfig(patch_size=(8, 10, 12))
     _, s = augment_batch(jax.random.PRNGKey(7), data, seg, cfg)
     assert set(np.unique(np.asarray(s))) <= set(np.unique(np.asarray(seg)))
+
+
+def test_gated_matches_vmap(batch):
+    """The gated (lax.cond) execution mode draws the same randomness and
+    produces the same results as the original vmap mode — seg exact, data
+    to float-association tolerance (the untriggered spatial branch blends
+    per axis instead of summing 8 corner weights). 30 keys cover all
+    transforms triggering at their reference probabilities."""
+    data, seg = batch
+    data_cf = jnp.moveaxis(data, -1, 1)
+    cfg = AugmentConfig(patch_size=(8, 10, 12))
+    for i in range(30):
+        key = jax.random.PRNGKey(i)
+        dg, sg = augment_batch(key, data_cf, seg, cfg, channels_first=True,
+                               mode="gated")
+        dv, sv = augment_batch(key, data_cf, seg, cfg, channels_first=True,
+                               mode="vmap")
+        np.testing.assert_array_equal(np.asarray(sg), np.asarray(sv))
+        np.testing.assert_allclose(np.asarray(dg), np.asarray(dv),
+                                   rtol=0, atol=1e-4, err_msg=f"key {i}")
+
+
+def test_gated_sharded_matches_single_device(batch):
+    """augment_batch(mesh=...) routes the gated scan through shard_map so
+    each device branches on its own samples; results equal the unsharded
+    gated path."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >=2 devices")
+    n = 2 if len(devs) < 4 else 4
+    data, seg = batch
+    data = jnp.concatenate([data] * (n // 2), 0)
+    seg = jnp.concatenate([seg] * (n // 2), 0)
+    data_cf = jnp.moveaxis(data, -1, 1)
+    cfg = AugmentConfig(patch_size=(8, 10, 12))
+    mesh = Mesh(np.array(devs[:n]).reshape(n, 1), ("data", "model"))
+    key = jax.random.PRNGKey(5)
+    f = jax.jit(lambda k, d, s: augment_batch(
+        k, d, s, cfg, channels_first=True, mesh=mesh),
+        in_shardings=(None, NamedSharding(mesh, P("data")),
+                      NamedSharding(mesh, P("data"))))
+    dg, sg = f(key, data_cf, seg)
+    d1, s1 = augment_batch(key, data_cf, seg, cfg, channels_first=True,
+                           mode="gated")
+    np.testing.assert_array_equal(np.asarray(sg), np.asarray(s1))
+    np.testing.assert_allclose(np.asarray(dg), np.asarray(d1),
+                               rtol=0, atol=1e-5)
