@@ -524,7 +524,8 @@ def augment_batch(key: jax.Array, data: jnp.ndarray, seg: jnp.ndarray,
         data = jnp.moveaxis(data, -1, 1)
     keys = jax.random.split(key, data.shape[0])
     if mode == "gated":
-        if mesh is not None and mesh.shape.get("data", 1) > 1:
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        if n_data > 1 and data.shape[0] % n_data == 0:
             from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
             fn = shard_map(partial(_augment_scan, cfg=cfg), mesh=mesh,
