@@ -81,6 +81,37 @@ class AugmentConfig(NamedTuple):
     mirror_axes: Tuple[int, ...] = (0, 1, 2)
     do_dummy_2d: bool = False
     interp_order: int = 1   # data interpolation of the spatial warp (DAOrd0→0)
+    # ---- DA5-specific fields (all default-off/neutral so the base pipeline's
+    # draw stream and numerics are unchanged; reference
+    # variants/data_augmentation/nnUNetTrainerDA5.py:110-265). Draws for
+    # these are folded in from separate keys, never taken from the base
+    # pipeline's key tree.
+    p_rot_per_axis: float = 1.0        # gate each rotation axis (DA5: 0.5)
+    independent_scale: bool = False    # per-axis scale factors (DA5: True)
+    p_rot90: float = 0.0               # Rot90Transform over matching axes
+    rot90_axes: Tuple[Tuple[int, int], ...] = ()   # ordered axis pairs
+    p_transpose: float = 0.0           # TransposeAxesTransform
+    transpose_axes: Tuple[int, ...] = ()           # equal-size axes
+    median_oneof_blur: bool = False    # OneOf([median, blur]) coupling
+    p_median: float = 0.0              # MedianFilterTransform
+    median_size: Tuple[int, int] = (2, 8)          # randint [lo, hi)
+    p_median_per_channel: float = 0.5
+    p_brightness_additive: float = 0.0  # BrightnessTransform(0, sigma)
+    brightness_additive_sigma: float = 0.5
+    p_brightness_additive_per_channel: float = 0.5
+    p_contrast_preserve: float = 1.0   # OneOf(preserve_range True/False)
+    p_contrast_per_channel: float = 1.0
+    gamma_second_invert: bool = False  # DA5's 2nd gamma is ALSO inverted
+    p_blank_rect: float = 0.0          # BlankRectangleTransform
+    blank_rect_num: Tuple[int, int] = (1, 5)       # randint [lo, hi)
+    p_blank_rect_per_channel: float = 0.5
+    p_bright_grad: float = 0.0         # BrightnessGradientAdditiveTransform
+    p_bright_grad_per_channel: float = 0.5
+    p_local_gamma: float = 0.0         # LocalGammaTransform
+    p_local_gamma_per_channel: float = 0.5
+    p_sharpen: float = 0.0             # SharpeningTransform
+    sharpen_strength: Tuple[float, float] = (0.1, 1.0)
+    p_sharpen_per_channel: float = 0.5
 
 
 def _rot3(kx, ky, kz):
@@ -106,10 +137,21 @@ def _affine_params(key, cfg: AugmentConfig):
     angles = jax.random.uniform(k_ang, (3,), minval=cfg.rotation[0],
                                 maxval=cfg.rotation[1])
     angles = jnp.where(do_rot, angles, jnp.zeros(3))
+    if cfg.p_rot_per_axis < 1.0:
+        # DA5's p_rot_per_axis: each axis' rotation gated individually
+        per_axis = jax.random.uniform(jax.random.fold_in(k_rot, 1),
+                                      (3,)) < cfg.p_rot_per_axis
+        angles = jnp.where(per_axis, angles, 0.0)
     do_scale = jax.random.uniform(k_scl) < cfg.p_scale
-    scale = jax.random.uniform(k_sfac, (), minval=cfg.scale_range[0],
-                               maxval=cfg.scale_range[1])
-    scale = jnp.where(do_scale, scale, 1.0)
+    if cfg.independent_scale:
+        # DA5's independent_scale_for_each_axis
+        scale = jax.random.uniform(k_sfac, (3,), minval=cfg.scale_range[0],
+                                   maxval=cfg.scale_range[1])
+        scale = jnp.where(do_scale, scale, jnp.ones(3))
+    else:
+        scale = jax.random.uniform(k_sfac, (), minval=cfg.scale_range[0],
+                                   maxval=cfg.scale_range[1])
+        scale = jnp.where(do_scale, scale, 1.0)
     return do_rot, angles, do_scale, scale
 
 
@@ -127,7 +169,12 @@ def _affine_coords_from(angles, scale, in_shape, out_shape,
     else:
         mat = _rot2(angles[0])
     # scaling < 1 zooms IN in batchgenerators convention (coordinates * scale)
-    mat = mat * scale
+    if jnp.ndim(scale) == 1:
+        # per-axis scale applies to the rotated sampling coordinates
+        # (batchgenerators scale_coords: diag(scale) @ R)
+        mat = scale[:dim, None] * mat
+    else:
+        mat = mat * scale
 
     grids = jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) -
                            (s - 1) / 2 for s in out_shape], indexing="ij")
@@ -229,14 +276,24 @@ def _blur_axis(x, kernel, axis):
     return jnp.moveaxis(out.reshape(shp), -1, axis)
 
 
-def _gaussian_blur_one(key, data, cfg: AugmentConfig):
+def _blur_radius(cfg: AugmentConfig) -> int:
+    # 3 covers the default sigma ≤ 1.0 (<1e-3 tail); wider ranges (DA5's
+    # 1.5) get 3σ coverage
+    return 3 if cfg.blur_sigma[1] <= 1.0 else int(np.ceil(3 * cfg.blur_sigma[1]))
+
+
+def _gaussian_blur_one(key, data, cfg: AugmentConfig, suppress=None):
+    """suppress: optional traced bool that vetoes the blur (the DA5
+    OneOf([median, blur]) coupling — exactly one of the pair may fire)."""
     dim = data.ndim - 1
     k_do, k_sig, k_ch = jax.random.split(key, 3)
     do = jax.random.uniform(k_do) < cfg.p_blur
+    if suppress is not None:
+        do = do & ~suppress
     sigma = jax.random.uniform(k_sig, (data.shape[0],),
                                minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
     per_ch = jax.random.uniform(k_ch, (data.shape[0],)) < cfg.p_blur_per_channel
-    radius = 3  # covers sigma ≤ 1.0 (4σ truncation would be 4; 3 is <1e-3 tail)
+    radius = _blur_radius(cfg)
 
     def blur_channel(vol, s):
         kern = _gauss_kernel(s, radius)
@@ -247,6 +304,61 @@ def _gaussian_blur_one(key, data, cfg: AugmentConfig):
     blurred = jax.vmap(blur_channel)(data, sigma)
     use = do & per_ch
     return jnp.where(use.reshape((-1,) + (1,) * dim), blurred, data)
+
+
+def _median_one(key, data, cfg: AugmentConfig, choose_median, gated: bool):
+    """MedianFilterTransform half of the DA5 OneOf: per-channel separable
+    median with size ~ randint(*cfg.median_size)."""
+    C = data.shape[0]
+    dim = data.ndim - 1
+    km = jax.random.fold_in(key, 78)
+    do = choose_median & (jax.random.uniform(jax.random.fold_in(km, 0))
+                          < cfg.p_median)
+    per_ch = jax.random.uniform(jax.random.fold_in(km, 1),
+                                (C,)) < cfg.p_median_per_channel
+    sizes = jax.random.randint(jax.random.fold_in(km, 2), (C,), 0,
+                               cfg.median_size[1] - cfg.median_size[0])
+
+    def apply(d):
+        out = jax.vmap(lambda v, si: _median_channel(v, si, cfg))(d, sizes)
+        return jnp.where(per_ch.reshape((-1,) + (1,) * dim), out, d)
+
+    return _cond(do, apply, data) if gated \
+        else jnp.where(do, apply(data), data)
+
+
+def _brightness_additive(keys4, data, cfg: AugmentConfig):
+    """DA5's BrightnessTransform(0, sigma, per_channel): add a per-channel
+    N(0, sigma) shift. One fused where — no cond needed."""
+    dim = data.ndim - 1
+    C = data.shape[0]
+    kb = jax.random.fold_in(keys4, 5)
+    do = jax.random.uniform(jax.random.fold_in(kb, 0)) \
+        < cfg.p_brightness_additive
+    per_ch = jax.random.uniform(jax.random.fold_in(kb, 1), (C,)) \
+        < cfg.p_brightness_additive_per_channel
+    shift = jax.random.normal(jax.random.fold_in(kb, 2), (C,)) \
+        * cfg.brightness_additive_sigma
+    add = jnp.where(per_ch, shift, 0.0).reshape((-1,) + (1,) * dim)
+    return jnp.where(do, data + add, data)
+
+
+def _contrast_extras(keys5, data, cfg: AugmentConfig):
+    """DA5 contrast options: 50/50 preserve-range OneOf, per-channel gating
+    and per-channel factors. Returns (preserve, ch_on, cfac_per_ch) —
+    None where the base behavior applies."""
+    preserve = ch_on = cfac_ch = None
+    C = data.shape[0]
+    if cfg.p_contrast_preserve < 1.0:
+        preserve = jax.random.uniform(jax.random.fold_in(keys5, 1)) \
+            < cfg.p_contrast_preserve
+    if cfg.p_contrast_per_channel < 1.0:
+        ch_on = jax.random.uniform(jax.random.fold_in(keys5, 2), (C,)) \
+            < cfg.p_contrast_per_channel
+        cfac_ch = jax.random.uniform(jax.random.fold_in(keys5, 3), (C,),
+                                     minval=cfg.contrast_range[0],
+                                     maxval=cfg.contrast_range[1])
+    return preserve, ch_on, cfac_ch
 
 
 def _lowres_axis(x, zoom, axis, size):
@@ -311,29 +423,47 @@ def _intensity_one(key, data, cfg: AugmentConfig):
                              maxval=cfg.noise_var[1])
     noise = jax.random.normal(keys[2], data.shape) * jnp.sqrt(var)
     data = jnp.where(do_noise, data + noise, data)
-    # blur
-    data = _gaussian_blur_one(keys[3], data, cfg)
-    # brightness (multiplicative)
+    # median / blur (DA5 couples them in a OneOf: exactly one may fire)
+    choose_median = None
+    if cfg.median_oneof_blur and cfg.p_median > 0:
+        choose_median = jax.random.uniform(
+            jax.random.fold_in(keys[3], 77)) < 0.5
+        data = _median_one(keys[3], data, cfg, choose_median, gated=False)
+    data = _gaussian_blur_one(keys[3], data, cfg, suppress=choose_median)
+    # brightness (multiplicative; DA5 uses the additive form instead)
     do_b = jax.random.uniform(keys[4]) < cfg.p_brightness
     bfac = jax.random.uniform(keys[8], (), minval=cfg.brightness_range[0],
                               maxval=cfg.brightness_range[1])
     data = jnp.where(do_b, data * bfac, data)
-    # contrast (preserve range)
+    if cfg.p_brightness_additive > 0:
+        data = _brightness_additive(keys[4], data, cfg)
+    # contrast (preserve range; DA5 adds preserve OneOf + per-channel gates)
     do_c = jax.random.uniform(keys[5]) < cfg.p_contrast
     cfac = jax.random.uniform(keys[9], (), minval=cfg.contrast_range[0],
                               maxval=cfg.contrast_range[1])
+    preserve, ch_on, cfac_ch = _contrast_extras(keys[5], data, cfg)
+    if cfac_ch is not None:
+        cfac = cfac_ch.reshape((-1,) + (1,) * (data.ndim - 1))
     axes = tuple(range(1, data.ndim))  # per-channel stats over spatial
     mean = data.mean(axis=axes, keepdims=True)
     mn = data.min(axis=axes, keepdims=True)
     mx = data.max(axis=axes, keepdims=True)
-    contrasted = jnp.clip((data - mean) * cfac + mean, mn, mx)
+    contrasted = (data - mean) * cfac + mean
+    clipped = jnp.clip(contrasted, mn, mx)
+    contrasted = clipped if preserve is None \
+        else jnp.where(preserve, clipped, contrasted)
+    if ch_on is not None:
+        contrasted = jnp.where(
+            ch_on.reshape((-1,) + (1,) * (data.ndim - 1)), contrasted, data)
     data = jnp.where(do_c, contrasted, data)
     # simulate low res
     data = _lowres_one(keys[6], data, cfg)
-    # gamma (inverted then normal, reference order :742-752)
+    # gamma (inverted then normal, reference order :742-752; DA5's second
+    # gamma is also inverted)
     k_g1, k_g2 = jax.random.split(keys[7])
     data = _gamma_one(k_g1, data, cfg, invert=True, p=cfg.p_gamma_invert)
-    data = _gamma_one(k_g2, data, cfg, invert=False, p=cfg.p_gamma)
+    data = _gamma_one(k_g2, data, cfg, invert=cfg.gamma_second_invert,
+                      p=cfg.p_gamma)
     return data
 
 
@@ -368,19 +498,29 @@ def _intensity_one_gated(key, data, cfg: AugmentConfig):
                      lambda d: d + jax.random.normal(keys[2], d.shape)
                      * jnp.sqrt(var), data)
 
+    # median / blur (DA5 couples them in a OneOf: exactly one may fire)
+    choose_median = None
+    if cfg.median_oneof_blur and cfg.p_median > 0:
+        choose_median = jax.random.uniform(
+            jax.random.fold_in(keys[3], 77)) < 0.5
+        data = _median_one(keys[3], data, cfg, choose_median, gated=True)
+
     # blur: 3 separable convs per channel
     if cfg.p_blur > 0:
         k_do, k_sig, k_ch = jax.random.split(keys[3], 3)
         do = jax.random.uniform(k_do) < cfg.p_blur
+        if choose_median is not None:
+            do = do & ~choose_median
         sigma = jax.random.uniform(k_sig, (data.shape[0],),
                                    minval=cfg.blur_sigma[0],
                                    maxval=cfg.blur_sigma[1])
         per_ch = jax.random.uniform(k_ch, (data.shape[0],)) \
             < cfg.p_blur_per_channel
+        radius = _blur_radius(cfg)
 
         def blur(d):
             def blur_channel(vol, s):
-                kern = _gauss_kernel(s, 3)
+                kern = _gauss_kernel(s, radius)
                 for ax in range(dim):
                     vol = _blur_axis(vol, kern, ax)
                 return vol
@@ -394,19 +534,30 @@ def _intensity_one_gated(key, data, cfg: AugmentConfig):
     bfac = jax.random.uniform(keys[8], (), minval=cfg.brightness_range[0],
                               maxval=cfg.brightness_range[1])
     data = jnp.where(do_b, data * bfac, data)
+    if cfg.p_brightness_additive > 0:
+        data = _brightness_additive(keys[4], data, cfg)
 
     # contrast: 3 reductions + clip
     if cfg.p_contrast > 0:
         do_c = jax.random.uniform(keys[5]) < cfg.p_contrast
         cfac = jax.random.uniform(keys[9], (), minval=cfg.contrast_range[0],
                                   maxval=cfg.contrast_range[1])
+        preserve, ch_on, cfac_ch = _contrast_extras(keys[5], data, cfg)
+        if cfac_ch is not None:
+            cfac = cfac_ch.reshape((-1,) + (1,) * dim)
 
         def contrast(d):
             axes = tuple(range(1, d.ndim))
             mean = d.mean(axis=axes, keepdims=True)
             mn = d.min(axis=axes, keepdims=True)
             mx = d.max(axis=axes, keepdims=True)
-            return jnp.clip((d - mean) * cfac + mean, mn, mx)
+            out = (d - mean) * cfac + mean
+            clipped = jnp.clip(out, mn, mx)
+            out = clipped if preserve is None \
+                else jnp.where(preserve, clipped, out)
+            if ch_on is not None:
+                out = jnp.where(ch_on.reshape((-1,) + (1,) * dim), out, d)
+            return out
 
         data = _cond(do_c, contrast, data)
 
@@ -433,7 +584,7 @@ def _intensity_one_gated(key, data, cfg: AugmentConfig):
     # gamma (inverted then normal): pow + 6 reductions each
     k_g1, k_g2 = jax.random.split(keys[7])
     for k_g, invert, p in ((k_g1, True, cfg.p_gamma_invert),
-                           (k_g2, False, cfg.p_gamma)):
+                           (k_g2, cfg.gamma_second_invert, cfg.p_gamma)):
         if p <= 0:
             continue
         k_do, k_gam = jax.random.split(k_g)
@@ -469,12 +620,252 @@ def _mirror_one_gated(key, data, seg, cfg: AugmentConfig):
     return data, seg
 
 
+# ----------------------------------------------------------------- DA5 extras
+# TPU-native re-expressions of the batchgenerators transforms that only the
+# DA5 recipe uses (reference nnUNetTrainerDA5.py:110-265). batchgenerators is
+# not importable in this environment, so semantics are re-derived from the
+# reference call sites + the documented batchgenerators contracts; each
+# deviation is noted inline. All are gated lax.cond ops in "gated" mode and
+# draw their randomness from keys folded OFF the base pipeline's tree, so
+# enabling them never perturbs the base draw stream.
+
+
+def _rot90_one(key, data, seg, cfg: AugmentConfig, gated: bool):
+    """Rot90Transform: with p_rot90, rotate k∈{0..3} quarter-turns in a
+    random ordered pair of equal-size axes (reference DA5 :151-155)."""
+    k_do, k_pair, k_k = jax.random.split(jax.random.fold_in(key, 90), 3)
+    do = jax.random.uniform(k_do) < cfg.p_rot90
+    pair_i = jax.random.randint(k_pair, (), 0, len(cfg.rot90_axes))
+    quarter = jax.random.randint(k_k, (), 0, 4)
+
+    def apply(ds):
+        def for_pair(a, b):
+            def rot(ds2):
+                d2, s2 = ds2
+                return jax.lax.switch(
+                    quarter,
+                    [lambda o, k=k: (jnp.rot90(o[0], k, (a + 1, b + 1)),
+                                     jnp.rot90(o[1], k, (a, b)))
+                     for k in range(4)],
+                    (d2, s2))
+            return rot
+        return jax.lax.switch(pair_i,
+                              [for_pair(a, b) for a, b in cfg.rot90_axes], ds)
+
+    if gated:
+        return jax.lax.cond(do, apply, lambda ds: ds, (data, seg))
+    d2, s2 = apply((data, seg))
+    return jnp.where(do, d2, data), jnp.where(do, s2, seg)
+
+
+def _transpose_one(key, data, seg, cfg: AugmentConfig, gated: bool):
+    """TransposeAxesTransform: with p_transpose, apply a uniformly random
+    permutation of the equal-size axes (reference DA5 :157-159)."""
+    from itertools import permutations
+    dim = data.ndim - 1
+    perms = []
+    for p in permutations(cfg.transpose_axes):
+        order = list(range(dim))
+        for src, dst in zip(cfg.transpose_axes, p):
+            order[src] = dst
+        perms.append(tuple(order))
+    k_do, k_p = jax.random.split(jax.random.fold_in(key, 91))
+    do = jax.random.uniform(k_do) < cfg.p_transpose
+    perm_i = jax.random.randint(k_p, (), 0, len(perms))
+
+    def apply(ds):
+        def for_perm(order):
+            return lambda o: (jnp.transpose(o[0], (0,) + tuple(a + 1
+                                                               for a in order)),
+                              jnp.transpose(o[1], order))
+        return jax.lax.switch(perm_i, [for_perm(o) for o in perms], ds)
+
+    if gated:
+        return jax.lax.cond(do, apply, lambda ds: ds, (data, seg))
+    d2, s2 = apply((data, seg))
+    return jnp.where(do, d2, data), jnp.where(do, s2, seg)
+
+
+def _median_axis(x, size: int, axis: int):
+    """1D rank filter along `axis`, rank size//2 of a size-wide window —
+    scipy.ndimage.median_filter's per-axis semantics (window offsets
+    -((size-1)//2)..size//2, 'reflect' boundary = jnp 'symmetric')."""
+    left = (size - 1) // 2
+    right = size // 2
+    moved = jnp.moveaxis(x, axis, -1)
+    pw = [(0, 0)] * (moved.ndim - 1) + [(left, right)]
+    xp = jnp.pad(moved, pw, mode="symmetric")
+    n = moved.shape[-1]
+    win = jnp.stack([jax.lax.slice_in_dim(xp, i, i + n, axis=-1)
+                     for i in range(size)], 0)
+    med = jnp.sort(win, axis=0)[size // 2]
+    return jnp.moveaxis(med, -1, axis)
+
+
+def _median_channel(vol, size_idx, cfg: AugmentConfig):
+    """Separable (axis-by-axis) median — a documented approximation of the
+    true dense median filter: the k^dim-window sort would need ~512x the
+    volume in flight at k=7; the separable form is the standard streaming
+    approximation and matches the dense filter on locally monotone data."""
+    lo, hi = cfg.median_size
+
+    def for_size(k):
+        def f(v):
+            for ax in range(v.ndim):
+                v = _median_axis(v, k, ax)
+            return v
+        return f
+
+    return jax.lax.switch(size_idx, [for_size(k) for k in range(lo, hi)], vol)
+
+
+def _gauss_field(key, shape):
+    """Anisotropic Gaussian bump over the volume grid: per-axis sigma
+    ~ exp(U(log(size//6), log(size))), center ~ U(-0.5, 1.5)*size — the
+    batchgenerators local_transforms kernel (reference DA5 :235-245)."""
+    field = None
+    for ax, s in enumerate(shape):
+        k_s = jax.random.fold_in(key, 2 * ax)
+        k_l = jax.random.fold_in(key, 2 * ax + 1)
+        sigma = jnp.exp(jax.random.uniform(
+            k_s, (), minval=float(np.log(max(s // 6, 1))),
+            maxval=float(np.log(s))))
+        loc = jax.random.uniform(k_l, (), minval=-0.5, maxval=1.5) * (s - 1)
+        i = jnp.arange(s, dtype=jnp.float32)
+        g = -0.5 * ((i - loc) / sigma) ** 2
+        field = g.reshape((-1,) + (1,) * (len(shape) - ax - 1)) if field is \
+            None else field + g.reshape((-1,) + (1,) * (len(shape) - ax - 1))
+    return jnp.exp(field)
+
+
+def _blank_rect_channel(key, vol, cfg: AugmentConfig):
+    """BlankRectangleTransform on one channel: 1..n rectangles, each set to
+    the mean of its own region (rectangle_value=np.mean, reference DA5
+    :224-232). Applied sequentially like the reference."""
+    n_lo, n_hi = cfg.blank_rect_num
+    n = jax.random.randint(jax.random.fold_in(key, 0), (), n_lo, n_hi)
+    shape = vol.shape
+    iotas = [jnp.arange(s).reshape((-1,) + (1,) * (len(shape) - ax - 1))
+             for ax, s in enumerate(shape)]
+    for r in range(n_hi - 1):
+        kr = jax.random.fold_in(key, r + 1)
+        mask = None
+        for ax, s in enumerate(shape):
+            lo = max(1, s // 10)
+            hi = max(lo + 1, s // 3)
+            sz = jax.random.randint(jax.random.fold_in(kr, 2 * ax), (),
+                                    lo, hi)
+            pos = jax.random.randint(jax.random.fold_in(kr, 2 * ax + 1), (),
+                                     0, s - hi + 1)
+            m = (iotas[ax] >= pos) & (iotas[ax] < pos + sz)
+            mask = m if mask is None else mask & m
+        active = (r < n) & mask
+        rect_mean = (vol * mask).sum() / jnp.maximum(
+            mask.sum().astype(vol.dtype), 1.0)
+        vol = jnp.where(active, rect_mean, vol)
+    return vol
+
+
+def _sharpen_channel(key, vol, cfg: AugmentConfig):
+    """SharpeningTransform: unsharp mask via the discrete Laplacian —
+    out = x + s*(2*dim*x - sum of face neighbors), symmetric boundary
+    (reference DA5 :258-264)."""
+    s = jax.random.uniform(key, (), minval=cfg.sharpen_strength[0],
+                           maxval=cfg.sharpen_strength[1])
+    lap = 2.0 * vol.ndim * vol
+    for ax in range(vol.ndim):
+        pw = [(0, 0)] * vol.ndim
+        pw[ax] = (1, 1)
+        xp = jnp.pad(vol, pw, mode="symmetric")
+        n = vol.shape[ax]
+        lap = lap - jax.lax.slice_in_dim(xp, 0, n, axis=ax) \
+            - jax.lax.slice_in_dim(xp, 2, n + 2, axis=ax)
+    return vol + s * lap
+
+
+def _post_da5_one(key, data, cfg: AugmentConfig, gated: bool):
+    """The DA5 tail transforms (data only, applied after mirroring like the
+    reference list): BlankRectangle, BrightnessGradientAdditive, LocalGamma,
+    Sharpening — each per-sample gated, then per-channel gated."""
+    dim = data.ndim - 1
+    C = data.shape[0]
+
+    def gate(tag, p_sample, p_channel, channel_fn):
+        nonlocal data
+        kt = jax.random.fold_in(key, tag)
+        do = jax.random.uniform(jax.random.fold_in(kt, 0)) < p_sample
+        per_ch = jax.random.uniform(jax.random.fold_in(kt, 1),
+                                    (C,)) < p_channel
+        ch_keys = jax.random.split(jax.random.fold_in(kt, 2), C)
+
+        def apply(d):
+            out = jax.vmap(channel_fn)(ch_keys, d)
+            return jnp.where(per_ch.reshape((-1,) + (1,) * dim), out, d)
+
+        data = _cond(do, apply, data) if gated \
+            else jnp.where(do, apply(data), data)
+
+    if cfg.p_blank_rect > 0:
+        gate(1, cfg.p_blank_rect, cfg.p_blank_rect_per_channel,
+             lambda k, v: _blank_rect_channel(k, v, cfg))
+
+    if cfg.p_bright_grad > 0:
+        # BrightnessGradientAdditiveTransform: bump normalized to peak |1|,
+        # scaled by strength ~ ±U(1, 5), added (mean_centered=False)
+        def bright_grad(k, v):
+            field = _gauss_field(jax.random.fold_in(k, 0), v.shape)
+            k_sign, k_mag = jax.random.split(jax.random.fold_in(k, 1))
+            mag = jax.random.uniform(k_mag, (), minval=1.0, maxval=5.0)
+            sign = jnp.where(jax.random.uniform(k_sign) < 0.5, -1.0, 1.0)
+            field = field / jnp.maximum(jnp.abs(field).max(), 1e-8)
+            return v + field * (sign * mag)
+        gate(2, cfg.p_bright_grad, cfg.p_bright_grad_per_channel, bright_grad)
+
+    if cfg.p_local_gamma > 0:
+        # LocalGammaTransform: bump rescaled to [0,1] becomes the per-voxel
+        # interpolation weight between exponent 1 (far) and gamma (peak),
+        # applied on the min-max normalized channel
+        def local_gamma(k, v):
+            field = _gauss_field(jax.random.fold_in(k, 0), v.shape)
+            k_sel, k_g = jax.random.split(jax.random.fold_in(k, 1))
+            g_lo = jax.random.uniform(k_g, (), minval=0.01, maxval=0.8)
+            g_hi = jax.random.uniform(jax.random.fold_in(k_g, 1), (),
+                                      minval=1.5, maxval=4.0)
+            gamma = jnp.where(jax.random.uniform(k_sel) < 0.5, g_lo, g_hi)
+            fmin = field.min()
+            field = (field - fmin) / jnp.maximum(field.max() - fmin, 1e-8)
+            exponent = field * (gamma - 1.0) + 1.0
+            mn, mx = v.min(), v.max()
+            x = (v - mn) / jnp.maximum(mx - mn, 1e-8)
+            return jnp.power(jnp.maximum(x, 1e-8), exponent) \
+                * (mx - mn) + mn
+        gate(3, cfg.p_local_gamma, cfg.p_local_gamma_per_channel, local_gamma)
+
+    if cfg.p_sharpen > 0:
+        gate(4, cfg.p_sharpen, cfg.p_sharpen_per_channel,
+             lambda k, v: _sharpen_channel(k, v, cfg))
+
+    return data
+
+
+def _geom_da5(key, data, seg, cfg: AugmentConfig, gated: bool):
+    if cfg.p_rot90 > 0 and cfg.rot90_axes:
+        data, seg = _rot90_one(key, data, seg, cfg, gated)
+    if cfg.p_transpose > 0 and len(cfg.transpose_axes) > 1:
+        data, seg = _transpose_one(key, data, seg, cfg, gated)
+    return data, seg
+
+
 def _augment_one(key, data, seg, cfg: AugmentConfig):
     """data (c, *spatial), seg (*spatial)."""
     k_sp, k_int, k_mir = jax.random.split(key, 3)
     data, seg = _spatial_one(k_sp, data, seg, cfg)
+    data, seg = _geom_da5(jax.random.fold_in(key, 0xDA5), data, seg, cfg,
+                          gated=False)
     data = _intensity_one(k_int, data, cfg)
     data, seg = _mirror_one(k_mir, data, seg, cfg)
+    data = _post_da5_one(jax.random.fold_in(key, 0xDA51), data, cfg,
+                         gated=False)
     return data, seg
 
 
@@ -482,8 +873,12 @@ def _augment_one_gated(key, data, seg, cfg: AugmentConfig):
     """Identical draws/taken-branch math to _augment_one; lax.cond gating."""
     k_sp, k_int, k_mir = jax.random.split(key, 3)
     data, seg = _spatial_one_gated(k_sp, data, seg, cfg)
+    data, seg = _geom_da5(jax.random.fold_in(key, 0xDA5), data, seg, cfg,
+                          gated=True)
     data = _intensity_one_gated(k_int, data, cfg)
     data, seg = _mirror_one_gated(k_mir, data, seg, cfg)
+    data = _post_da5_one(jax.random.fold_in(key, 0xDA51), data, cfg,
+                         gated=True)
     return data, seg
 
 

@@ -29,13 +29,20 @@ class MVDSegPredictor:
     def __init__(self, tile_step_size: float = 0.5, use_gaussian: bool = True,
                  use_mirroring: bool = True,
                  allowed_mirroring_axes: Optional[Tuple[int, ...]] = None,
-                 tile_batch_size: int = 4, verbose: bool = False):
+                 tile_batch_size: int = 4, verbose: bool = False,
+                 tta_mode: Optional[str] = None):
         self.tile_step_size = tile_step_size
         self.use_gaussian = use_gaussian
         self.use_mirroring = use_mirroring
         self.allowed_mirroring_axes = allowed_mirroring_axes
         self.tile_batch_size = tile_batch_size
         self.verbose = verbose
+        # "loop": the 2^n flip variants run as sequential forwards inside
+        # the one jit (XLA pipelines them). "batched": all variants are
+        # folded into the tile batch for ONE forward at 2^n x batch — the
+        # flips are data-parallel, so this trades activation memory for
+        # scheduling slack; pick per chip by A/B (env MVDSEG_TTA_MODE).
+        self.tta_mode = tta_mode or os.environ.get("MVDSEG_TTA_MODE", "loop")
 
         self.network = None
         self.params_list: List[dict] = []
@@ -139,27 +146,40 @@ class MVDSegPredictor:
             ax = [a + 1 for a in self.allowed_mirroring_axes if a < dim]
             axes_combos = [c for n in range(len(ax) + 1)
                            for c in itertools.combinations(ax, n)]
-        out = None
         # params_list entries are either bare param trees or full flax
         # variables dicts (e.g. {"params", "batch_stats"} for networks with
         # BatchNorm such as ContrastiveNet)
         variables = params if "params" in params else {"params": params}
-        for combo in axes_combos:
-            t = jnp.flip(tiles, combo) if combo else tiles
+
+        def fwd(t):
             o = net.apply(variables, t.astype(jnp.bfloat16), train=False)
             while isinstance(o, (list, tuple)):
                 # deep-supervision list → finest head; dual-branch tuple
                 # (logits1, logits2, fea1, fea2) → branch-1 logits
                 o = o[0]
-            o = jnp.flip(o, combo) if combo else o
-            out = o if out is None else out + o
+            return o
+
+        if self.tta_mode == "batched" and len(axes_combos) > 1:
+            stacked = jnp.concatenate(
+                [jnp.flip(tiles, c) if c else tiles for c in axes_combos], 0)
+            parts = jnp.split(fwd(stacked), len(axes_combos), 0)
+            out = sum(jnp.flip(p, c) if c else p
+                      for p, c in zip(parts, axes_combos))
+        else:
+            out = None
+            for combo in axes_combos:
+                o = fwd(jnp.flip(tiles, combo) if combo else tiles)
+                o = jnp.flip(o, combo) if combo else o
+                out = o if out is None else out + o
         return out / len(axes_combos)
 
     def _get_sliding_window_fn(self, padded_shape: Tuple[int, ...],
                                n_tiles_padded: int, num_channels: int,
                                num_heads: int):
         """Build/jit-cache the scan over tile batches for one padded shape."""
-        key = (padded_shape, n_tiles_padded, num_channels, num_heads)
+        key = (padded_shape, n_tiles_padded, num_channels, num_heads,
+               self.tta_mode, self.use_mirroring,
+               tuple(self.allowed_mirroring_axes or ()))
         if key in self._jitted:
             return self._jitted[key]
 

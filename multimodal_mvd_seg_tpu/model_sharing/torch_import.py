@@ -58,7 +58,7 @@ def load_network_weights(checkpoint_or_path):
         for pre in ("module.", "_orig_mod."):
             if k.startswith(pre):
                 k = k[len(pre):]
-        if k.startswith("decoder.encoder."):
+        if re.match(r"^decoder\d*\.encoder\.", k):
             continue  # UNetDecoder's back-reference duplicates the encoder
         if ".all_modules." in k:
             continue  # alias of the named conv/norm entries
@@ -529,6 +529,195 @@ def _looks_like_contrastive(weights: Dict[str, np.ndarray]) -> bool:
     return any(k.startswith("share_encoder.") for k in weights)
 
 
+# --------------------------------------------------------------------------
+# FinalNetv4 (the inference-averaging dual-branch variant) import.
+#
+# Reference selfattnNet.py:1078-1160: dual single-channel PlainConvEncoders
+# + dual UNetDecoder6 (UNetDecoder.py:797-925), forward averaging the two
+# branch outputs at inference (:1147-1160). The public code cannot run as
+# shipped (UNetDecoder6 is never imported in selfattnNet.py, and its
+# forward(skips, attn_skip) arity doesn't match the decoder1(skips1) call),
+# so this importer targets the STATE-DICT STRUCTURE the public code defines
+# and maps it onto models.selfattn_net.FinalNetv4's repaired semantics (the
+# working bottleneck pattern of UNetDecoder.py:13-103: pos-embed + MHSA
+# residual; conv refinement params UNetDecoder6 lacks are zeroed, which
+# makes that sub-block an exact identity). Dead parameters the reference
+# constructs but can never use (the FinalNetv4-level pos_embeds/attention
+# zoo :1137-1145 and UNetDecoder6's crossattn/norm2/pos_embed2/3) are
+# skipped and reported.
+# --------------------------------------------------------------------------
+
+_FN_ENC = re.compile(r"^encoder([12])\.stages\.(\d+)\.convs\.(\d+)\."
+                     r"(conv|norm)\.(weight|bias)$")
+_FN_DEC_STAGE = re.compile(r"^decoder([12])\.stages\.(\d+)\.convs\.(\d+)\."
+                           r"(conv|norm)\.(weight|bias)$")
+_FN_UP = re.compile(r"^decoder([12])\.transpconvs\.(\d+)\.(weight|bias)$")
+_FN_SEG = re.compile(r"^decoder([12])\.seg_layers\.(\d+)\.(weight|bias)$")
+_FN_BOT = re.compile(r"^decoder([12])\.(pos_embed1|norm1\.weight|norm1\.bias|"
+                     r"selfattn\.qkv\.weight|selfattn\.proj\.weight|"
+                     r"selfattn\.proj\.bias)$")
+_FN_DEAD = re.compile(r"^(pos_embed[12]|crossattn\.|selfattn[12]\.|"
+                      r"norm[12]\.)|"
+                      r"^decoder[12]\.(pos_embed[23]|crossattn\.|norm2\.)")
+
+
+def _conv_to_cl(w: np.ndarray) -> np.ndarray:
+    """torch conv weight (Co, Ci, *k) → flax channels-last (*k, Ci, Co)."""
+    sp = tuple(range(2, w.ndim))
+    return np.transpose(w, sp + (1, 0))
+
+
+def convert_finalnet4(weights: Dict[str, np.ndarray],
+                      num_heads: int = 8) -> Dict:
+    """Normalized reference FinalNetv4 state dict → params tree for
+    models.selfattn_net.FinalNetv4 (channels-last). Returns
+    (params, skipped_keys)."""
+    params: Dict = {}
+    skipped, errs = [], []
+    for k, v in weights.items():
+        v = np.asarray(v, np.float32)
+        m = _FN_ENC.match(k)
+        if m:
+            e, s, i, kind, which = m.groups()
+            base = (f"encoder{e}", f"stage{s}", f"block{i}")
+            if kind == "conv":
+                _set(params, base + ("conv",
+                                     "kernel" if which == "weight" else
+                                     "bias"),
+                     _conv_to_cl(v) if which == "weight" else v)
+            else:
+                _set(params, base + ("norm",
+                                     "scale" if which == "weight" else
+                                     "bias"), v)
+            continue
+        m = _FN_DEC_STAGE.match(k)
+        if m:
+            d, s, i, kind, which = m.groups()
+            base = (f"decoder{d}", f"stage{s}", f"block{i}")
+            if kind == "conv":
+                _set(params, base + ("conv",
+                                     "kernel" if which == "weight" else
+                                     "bias"),
+                     _conv_to_cl(v) if which == "weight" else v)
+            else:
+                _set(params, base + ("norm",
+                                     "scale" if which == "weight" else
+                                     "bias"), v)
+            continue
+        m = _FN_UP.match(k)
+        if m:
+            d, s, which = m.groups()
+            if which == "weight":
+                # torch ConvTranspose3d (Ci, Co, *k) → flax nn.ConvTranspose
+                # (*k, Ci, Co); lax.conv_transpose indexes the spatial taps
+                # reversed relative to torch's scatter (same rule the
+                # PlainConvUNetCF importer pins in tests)
+                sp = tuple(range(2, v.ndim))
+                w = np.transpose(v, sp + (0, 1))
+                w = np.flip(w, axis=tuple(range(v.ndim - 2))).copy()
+                _set(params, (f"decoder{d}", f"up{s}", "kernel"), w)
+            else:
+                _set(params, (f"decoder{d}", f"up{s}", "bias"), v)
+            continue
+        m = _FN_SEG.match(k)
+        if m:
+            d, s, which = m.groups()
+            _set(params, (f"decoder{d}", f"seg{s}",
+                          "kernel" if which == "weight" else "bias"),
+                 _conv_to_cl(v) if which == "weight" else v)
+            continue
+        m = _FN_BOT.match(k)
+        if m:
+            d, rest = m.groups()
+            bot = (f"decoder{d}", "bottleneck")
+            if rest == "pos_embed1":
+                _set(params, bot + ("pos_embed",), v)
+            elif rest.startswith("norm1."):
+                _set(params, bot + ("norm1", "scale" if rest.endswith(
+                    "weight") else "bias"), v)
+            elif rest == "selfattn.qkv.weight":
+                C = v.shape[1]
+                _set(params, bot + ("attn", "qkv", "kernel"),
+                     v.T.reshape(C, 3, num_heads, C // num_heads))
+            elif rest == "selfattn.proj.weight":
+                _set(params, bot + ("attn", "proj", "kernel"), v.T)
+            else:  # selfattn.proj.bias
+                _set(params, bot + ("attn", "proj", "bias"), v)
+            continue
+        if _FN_DEAD.match(k) or k.endswith("num_batches_tracked"):
+            skipped.append(k)
+            continue
+        errs.append(k)
+    if errs:
+        raise ValueError(f"unrecognized FinalNetv4 state-dict keys: "
+                         f"{errs[:8]}{'…' if len(errs) > 8 else ''}")
+    # conv refinement (conv1/conv2) has no torch counterpart in
+    # UNetDecoder6 — zero conv2 makes `vol + conv2(drop(conv1(vol)))` an
+    # exact identity regardless of conv1, so zero both
+    for d in ("decoder1", "decoder2"):
+        bot = params[d]["bottleneck"]
+        C = bot["pos_embed"].shape[-1]
+        dim = params[d]["up0"]["kernel"].ndim - 2
+        for name, k in (("conv1", 3), ("conv2", 1)):
+            bot[name] = {"kernel": np.zeros((k,) * dim + (C, C), np.float32),
+                         "bias": np.zeros((C,), np.float32)}
+    return params, skipped
+
+
+def finalnet4_kwargs(weights: Dict[str, np.ndarray]) -> Dict:
+    """Derive FinalNetv4 constructor kwargs from the weight shapes."""
+    n_stages = 1 + max(int(m.group(2)) for k in weights
+                       for m in [_FN_ENC.match(k)] if m)
+    features, kernels, n_convs = [], [], []
+    for s in range(n_stages):
+        ws = [k for k in weights
+              if k.startswith(f"encoder1.stages.{s}.convs.")
+              and k.endswith("conv.weight")]
+        n_convs.append(len(ws))
+        w0 = np.asarray(weights[f"encoder1.stages.{s}.convs.0.conv.weight"])
+        features.append(int(w0.shape[0]))
+        kernels.append(list(w0.shape[2:]))
+    dim = len(kernels[0])
+    # encoder.strides[-(s+1)] == transpconvs[s] kernel (== stride)
+    strides = [[1] * dim]
+    ups = sorted(int(m.group(2)) for k in weights
+                 for m in [_FN_UP.match(k)] if m and k.endswith("weight")
+                 and m.group(1) == "1")
+    rev = []
+    for s in ups:
+        w = np.asarray(weights[f"decoder1.transpconvs.{s}.weight"])
+        rev.append(list(w.shape[2:]))
+    strides += rev[::-1]
+    seg0 = np.asarray(weights["decoder1.seg_layers.0.weight"])
+    pe = np.asarray(weights["decoder1.pos_embed1"])
+    return dict(features_per_stage=features, n_conv_per_stage=n_convs,
+                kernel_sizes=kernels, strides=strides,
+                num_classes=int(seg0.shape[0]),
+                hidden_size=int(pe.shape[-1]))
+
+
+def import_finalnet4(checkpoint_or_path, *, do_ds=None, dtype=None,
+                     num_heads: int = 8):
+    """One call: reference FinalNetv4 checkpoint → (FinalNetv4, variables)."""
+    import jax.numpy as jnp
+    from ..models.selfattn_net import FinalNetv4
+    w = load_network_weights(checkpoint_or_path)
+    kwargs = finalnet4_kwargs(w)
+    params, _ = convert_finalnet4(w, num_heads=num_heads)
+    if do_ds is not None:
+        kwargs["do_ds"] = do_ds
+    if dtype is not None:
+        kwargs["dtype"] = dtype
+    net = FinalNetv4(padding="TORCH", **kwargs)
+    return net, {"params": _tree_to_jnp(params, jnp)}
+
+
+def _looks_like_finalnet4(weights: Dict[str, np.ndarray]) -> bool:
+    return (any(k.startswith("encoder1.stages.") for k in weights)
+            and any(k.startswith("decoder1.transpconvs.") for k in weights)
+            and "decoder1.selfattn.qkv.weight" in weights)
+
+
 def _check_against_plans(kwargs: Dict, plans: dict, configuration: str):
     """The weight-derived architecture must agree with what the plans
     describe — the predictor rebuilds the net FROM the plans, so a
@@ -605,6 +794,31 @@ def import_torch_model_folder(src_dir: str, dst_dir: str,
                     f"{os.path.basename(src_dir)!r} is not "
                     f"<trainer>__<plans>__<configuration>")
             w = load_network_weights(ck)
+            if _looks_like_finalnet4(w):
+                kwargs = finalnet4_kwargs(w)
+                params, skipped = convert_finalnet4(w)
+                overrides = {k: tuple(tuple(i) if isinstance(i, list)
+                                      else i for i in v)
+                             if isinstance(v, list) else v
+                             for k, v in kwargs.items()}
+                overrides["padding"] = "TORCH"
+                out = {
+                    "network_weights": params,
+                    "trainer_name": "FinalNetv4Trainer",
+                    "init_args": {"configuration": configuration},
+                    "inference_allowed_mirroring_axes":
+                        ck.get("inference_allowed_mirroring_axes"),
+                    "network_overrides": overrides,
+                    "imported_from": os.path.abspath(src_ck),
+                    "skipped_reference_keys": skipped,
+                }
+                os.makedirs(os.path.join(dst_dir, d), exist_ok=True)
+                dst_ck = os.path.join(
+                    dst_dir, d, os.path.splitext(ckname)[0] + ".pkl")
+                with open(dst_ck, "wb") as fh:
+                    pickle.dump(out, fh)
+                converted.setdefault(d, []).append(dst_ck)
+                continue
             if _looks_like_contrastive(w):
                 # MVD flagship (the reference's get_network_from_plans
                 # builds ContrastiveNet unconditionally, :177-203)

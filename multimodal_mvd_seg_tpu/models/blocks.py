@@ -231,11 +231,17 @@ class ConvNormAct(nn.Module):
     norm: str = "instance"          # instance | batch | none
     act: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    # "SAME" (XLA symmetric-ish pads) or "TORCH" ((k-1)//2 both sides —
+    # identical for stride 1, torch-window-aligned for strided convs; used
+    # by reference-checkpoint import, model_sharing/torch_import.py)
+    padding: str = "SAME"
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
+        pad = "SAME" if self.padding == "SAME" else \
+            tuple(((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size)
         x = nn.Conv(self.features, kernel_size=tuple(self.kernel_size),
-                    strides=tuple(self.strides), padding="SAME",
+                    strides=tuple(self.strides), padding=pad,
                     use_bias=True, dtype=self.dtype, name="conv")(x)
         # fp32 norm output: measured FASTER than bf16 output on v5e (XLA
         # fuses the fp32 normalize+act+downcast into one pass; a bf16 norm
@@ -261,6 +267,7 @@ class StackedConvBlocks(nn.Module):
     first_stride: Sequence[int]
     norm: str = "instance"
     dtype: jnp.dtype = jnp.bfloat16
+    padding: str = "SAME"
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -269,6 +276,7 @@ class StackedConvBlocks(nn.Module):
             stride = self.first_stride if i == 0 else (1,) * dim
             x = ConvNormAct(self.features, self.kernel_size, stride,
                             norm=self.norm, dtype=self.dtype,
+                            padding=self.padding,
                             name=f"block{i}")(x, train=train)
         return x
 

@@ -36,11 +36,13 @@ class _DualEncoderNet(nn.Module):
     do_ds: bool = True
     hidden_size: int = 256
     dtype: jnp.dtype = jnp.bfloat16
+    padding: str = "SAME"   # "TORCH" for reference-checkpoint import parity
 
     def _encoder(self, name):
         return PlainConvEncoder(self.features_per_stage,
                                 self.n_conv_per_stage, self.kernel_sizes,
-                                self.strides, dtype=self.dtype, name=name)
+                                self.strides, dtype=self.dtype,
+                                padding=self.padding, name=name)
 
     def _decoder(self, name, **kw):
         return AttnUNetDecoderBase(

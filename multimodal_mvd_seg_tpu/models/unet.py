@@ -56,6 +56,7 @@ class PlainConvEncoder(nn.Module):
     strides: Sequence[Sequence[int]]
     norm: str = "instance"
     dtype: jnp.dtype = jnp.bfloat16
+    padding: str = "SAME"   # "TORCH" for reference-checkpoint import parity
     # remat: trade FLOPs for HBM. True/"all" checkpoints every stage;
     # "auto" only the large early stages (cheap to recompute relative to
     # their activation footprint); False stores everything.
@@ -78,7 +79,8 @@ class PlainConvEncoder(nn.Module):
             block_cls = nn.remat(StackedConvBlocks) if self._remat_stage(s) \
                 else StackedConvBlocks
             x = block_cls(n, f, k, st, norm=self.norm, dtype=self.dtype,
-                          name=f"stage{s}")(x, train=train)
+                          padding=self.padding, name=f"stage{s}")(x,
+                                                                  train=train)
             skips.append(x)
         return skips
 

@@ -133,8 +133,17 @@ class MVDSegTrainer:
         self.was_initialized = False
         self.log_file = None
         self.device = device
-        self._rng = jax.random.PRNGKey(
-            int.from_bytes(os.urandom(4), "little"))
+        seed = int.from_bytes(os.urandom(4), "little")
+        if jax.process_count() > 1:
+            # multi-host: all replicas must start from IDENTICAL params and
+            # draw the same per-step augmentation keys (the role DDP's
+            # rank-0 parameter broadcast plays in the reference,
+            # nnUNetTrainer.py:220-222) — urandom is per-process, so
+            # broadcast host 0's seed
+            from jax.experimental import multihost_utils
+            seed = int(multihost_utils.broadcast_one_to_all(
+                np.uint32(seed)))
+        self._rng = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------ setup
 
@@ -361,7 +370,11 @@ class MVDSegTrainer:
             data = jnp.moveaxis(data, 1, -1)  # (b,c,*sp) batch contract
             outputs = network.apply({"params": state.params},
                                     data.astype(jnp.bfloat16), train=False)
-            out = outputs[0] if isinstance(outputs, (list, tuple)) else outputs
+            # finest head; nested for dual-branch nets (tuple of DS lists,
+            # e.g. FinalNetv4) → branch-1 finest
+            out = outputs
+            while isinstance(out, (list, tuple)):
+                out = out[0]
             loss = self._loss_from_outputs(
                 outputs if self.enable_deep_supervision else out, seg)
             # hard tp/fp/fn for pseudo-Dice (reference :942-1004)

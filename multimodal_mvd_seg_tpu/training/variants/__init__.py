@@ -10,12 +10,15 @@ _augment_overrides, build_network_architecture, attributes).
 
 from .benchmarking import (nnUNetTrainerBenchmark_5epochs,
                            nnUNetTrainerBenchmark_5epochs_noDataLoading)
-from .data_augmentation import (nnUNetTrainerDA5, nnUNetTrainerDAOrd0,
+from .data_augmentation import (nnUNetTrainerDA5, nnUNetTrainerDA5ord0,
+                                nnUNetTrainerDA5Segord0,
+                                nnUNetTrainerDA5_10epochs,
+                                nnUNetTrainerDAOrd0,
                                 nnUNetTrainerNoDA, nnUNetTrainerNoMirroring)
 from .loss_variants import (nnUNetTrainerCELoss, nnUNetTrainerDiceLoss,
                             nnUNetTrainerTopkLoss)
 from .lr_schedule import nnUNetTrainerCosAnneal
-from .network_architecture import (nnUNetTrainerBN,
+from .network_architecture import (FinalNetv4Trainer, nnUNetTrainerBN,
                                    nnUNetTrainerNoDeepSupervision)
 from .optimizer import nnUNetTrainerAdam, nnUNetTrainerAdan
 from .sampling import nnUNetTrainer_probabilisticOversampling
@@ -31,11 +34,12 @@ from .training_length import (nnUNetTrainer_5epochs, nnUNetTrainer_10epochs,
 __all__ = [
     "nnUNetTrainerBenchmark_5epochs",
     "nnUNetTrainerBenchmark_5epochs_noDataLoading",
-    "nnUNetTrainerDA5", "nnUNetTrainerDAOrd0", "nnUNetTrainerNoDA",
+    "nnUNetTrainerDA5", "nnUNetTrainerDA5ord0", "nnUNetTrainerDA5Segord0",
+    "nnUNetTrainerDA5_10epochs", "nnUNetTrainerDAOrd0", "nnUNetTrainerNoDA",
     "nnUNetTrainerNoMirroring",
     "nnUNetTrainerCELoss", "nnUNetTrainerDiceLoss", "nnUNetTrainerTopkLoss",
     "nnUNetTrainerCosAnneal",
-    "nnUNetTrainerBN", "nnUNetTrainerNoDeepSupervision",
+    "FinalNetv4Trainer", "nnUNetTrainerBN", "nnUNetTrainerNoDeepSupervision",
     "nnUNetTrainerAdam", "nnUNetTrainerAdan",
     "nnUNetTrainer_probabilisticOversampling",
     "nnUNetTrainer_5epochs", "nnUNetTrainer_10epochs",

@@ -8,16 +8,12 @@ from multimodal_mvd_seg_tpu.data.device_cache import DeviceCachedLoader
 from multimodal_mvd_seg_tpu.data.sampler import PatchSampler
 
 
-def _preprocess(synthetic_raw_dataset):
-    from multimodal_mvd_seg_tpu.experiment_planning.api import (
-        extract_fingerprints, plan_experiments, preprocess)
-    extract_fingerprints([1], num_processes=1)
-    plan_experiments([1])
-    preprocess([1], configurations=("3d_fullres",), num_processes=(1,))
+def _preprocess(prepared_dataset_shared):
+    # consumes the session-preprocessed artifacts (tests/conftest.py)
     import os
     from multimodal_mvd_seg_tpu.data.dataset import MVDSegDataset
-    pre = os.path.join(synthetic_raw_dataset["preprocessed"],
-                       synthetic_raw_dataset["dataset_name"])
+    pre = os.path.join(prepared_dataset_shared["preprocessed"],
+                       prepared_dataset_shared["dataset_name"])
     import json
     plans = json.load(open(os.path.join(pre, "nnUNetPlans.json")))
     folder = os.path.join(
@@ -25,8 +21,8 @@ def _preprocess(synthetic_raw_dataset):
     return MVDSegDataset(folder)
 
 
-def test_device_cache_matches_host_sampler(synthetic_raw_dataset):
-    ds = _preprocess(synthetic_raw_dataset)
+def test_device_cache_matches_host_sampler(prepared_dataset_shared):
+    ds = _preprocess(prepared_dataset_shared)
     # patch larger than some axes exercises the need_to_pad offset path
     sampler = PatchSampler(ds, batch_size=3, patch_size=(20, 24, 40),
                            oversample_foreground_percent=0.33)
@@ -39,8 +35,8 @@ def test_device_cache_matches_host_sampler(synthetic_raw_dataset):
         np.testing.assert_allclose(np.asarray(d_dev), d_host, atol=0)
 
 
-def test_device_cache_f16_tolerance(synthetic_raw_dataset):
-    ds = _preprocess(synthetic_raw_dataset)
+def test_device_cache_f16_tolerance(prepared_dataset_shared):
+    ds = _preprocess(prepared_dataset_shared)
     sampler = PatchSampler(ds, batch_size=2, patch_size=(16, 16, 16))
     loader = DeviceCachedLoader(sampler, seed=3)  # default f16 cache
     d_dev, s_dev = next(loader)
@@ -52,8 +48,8 @@ def test_device_cache_f16_tolerance(synthetic_raw_dataset):
                                rtol=1e-3, atol=1e-3)
 
 
-def test_supports_gating(synthetic_raw_dataset):
-    ds = _preprocess(synthetic_raw_dataset)
+def test_supports_gating(prepared_dataset_shared):
+    ds = _preprocess(prepared_dataset_shared)
     s3 = PatchSampler(ds, 2, (16, 16, 16))
     assert DeviceCachedLoader.supports(s3)
     assert not DeviceCachedLoader.supports(s3, budget_bytes=10)
@@ -65,12 +61,12 @@ def test_supports_gating(synthetic_raw_dataset):
         DeviceCachedLoader(s2)
 
 
-def test_device_cache_odd_need_parity(synthetic_raw_dataset):
+def test_device_cache_odd_need_parity(prepared_dataset_shared):
     """Odd need_to_pad axes: _get_bbox draws lbs down to -ceil(need/2)
     (Python floor on the negated value), so the cache must pad ceil(need/2)
     on BOTH sides — floor padding clamps the dynamic_slice start and shifts
     the patch one voxel (round-2 review finding)."""
-    ds = _preprocess(synthetic_raw_dataset)
+    ds = _preprocess(prepared_dataset_shared)
     # odd patch dims force odd need on every axis of every case
     sampler = PatchSampler(ds, batch_size=4, patch_size=(21, 29, 35),
                            oversample_foreground_percent=0.33)
@@ -91,12 +87,12 @@ def test_device_cache_odd_need_parity(synthetic_raw_dataset):
     assert hit_negative
 
 
-def test_case_shape_without_voxel_loads(synthetic_raw_dataset):
+def test_case_shape_without_voxel_loads(prepared_dataset_shared):
     """MVDSegDataset.case_shape reads npy/npz headers only; supports()'s
     byte estimate must use it (no dataset decompression on eligibility
     probes)."""
     from multimodal_mvd_seg_tpu.data.dataset import MVDSegDataset, unpack_dataset
-    ds = _preprocess(synthetic_raw_dataset)
+    ds = _preprocess(prepared_dataset_shared)
     key = next(iter(ds.keys()))
     data, _, props = ds.load_case(key)
     # npz path (preprocessed output is packed)

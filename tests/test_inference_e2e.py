@@ -10,15 +10,10 @@ pytestmark = pytest.mark.slow
 
 
 @pytest.fixture()
-def trained_model(synthetic_raw_dataset):
-    from multimodal_mvd_seg_tpu.experiment_planning.api import (
-        extract_fingerprints, plan_experiments, preprocess)
-    from multimodal_mvd_seg_tpu.run.run_training import run_training
-    extract_fingerprints([1], num_processes=1)
-    plan_experiments([1])
-    preprocess([1], configurations=("3d_fullres", "2d"),
-               num_processes=(1, 1))
-    # short fold-0 training via the public entry (writes checkpoint_final)
+def trained_model(prepared_dataset_shared):
+    # session-preprocessed dataset (tests/conftest.py); short fold-0
+    # training via the public entry (writes checkpoint_final)
+    synthetic_raw_dataset = prepared_dataset_shared
     from multimodal_mvd_seg_tpu.run.run_training import get_trainer_from_args
     trainer = get_trainer_from_args(1, "3d_fullres", 0)
     trainer.num_epochs = 1

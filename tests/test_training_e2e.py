@@ -11,13 +11,10 @@ pytestmark = pytest.mark.slow
 
 
 @pytest.fixture()
-def prepared_dataset(synthetic_raw_dataset):
-    from multimodal_mvd_seg_tpu.experiment_planning.api import (
-        extract_fingerprints, plan_experiments, preprocess)
-    extract_fingerprints([1], num_processes=1)
-    plan_experiments([1])
-    preprocess([1], configurations=("3d_fullres",), num_processes=(1,))
-    return synthetic_raw_dataset
+def prepared_dataset(prepared_dataset_shared):
+    # session-preprocessed dataset (tests/conftest.py) — no per-test
+    # fingerprint/plan/preprocess
+    return prepared_dataset_shared
 
 
 def test_train_validate_infer(prepared_dataset):
