@@ -358,10 +358,14 @@ def masked_instance_norm_act(x: jnp.ndarray, rep: Rep, scale, bias,
     same forward numerics, hand-written backward that keeps f32 off HBM —
     fewer bytes but slower end-to-end on this chip)."""
     import os
-    if os.environ.get("MVDSEG_NORM_IMPL", "xla") == "vjp":
+    impl = os.environ.get("MVDSEG_NORM_IMPL", "xla")
+    if impl == "vjp":
         from .norm_vjp import instance_norm_act
         return instance_norm_act(x, rep=tuple(rep), layout=layout,
                                  scale=scale, bias=bias, act=act)
+    if impl == "dot":
+        return _instance_norm_act_dot(x, rep, scale, bias, act=act,
+                                      layout=layout)
     nl = layout == "NL"
     B = x.shape[0]
     CF = x.shape[-1] if nl else x.shape[1]
@@ -404,6 +408,74 @@ def masked_instance_norm_act(x: jnp.ndarray, rep: Rep, scale, bias,
     bshape[xg.ndim - 2 if nl else 1] = C
     a, b = a.reshape(bshape), b.reshape(bshape)
     y = xg * a + b
+    if act:
+        y = jax.nn.leaky_relu(y, negative_slope=0.01)
+    if needs_mask:
+        y = y * msk  # re-zero artifact rows (affine/act made them nonzero)
+    out_shape = (B, *cells, CF) if nl else (B, CF, *cells)
+    return y.reshape(out_shape).astype(x.dtype)
+
+
+def _instance_norm_act_dot(x: jnp.ndarray, rep: Rep, scale, bias,
+                           act: bool = True, layout: str = "NC"):
+    """Instance norm + leaky relu with NO full-size f32 materialization
+    (MVDSEG_NORM_IMPL=dot). The "xla" form's ``x.astype(f32)`` feeds three
+    consumers (Σx, Σx², apply), so XLA CSEs and MATERIALIZES the f32
+    upcast as full-size transposed copies — the largest copy rows of the
+    round-3 HLO byte attribution (batch_running/hlo_bytes.py: 1.1 GB
+    ``copy f32[32,64,16,33,128]`` per block). Here the stats are
+    f32-ACCUMULATING reductions over the bf16 array (Σx² as a batched
+    self-dot with preferred_element_type=f32 — bf16×bf16 products are
+    exact in f32), and the apply pass has the per-element upcast as its
+    only consumer, so everything fuses: 3 bf16 reads + 1 bf16 write per
+    norm, zero f32 arrays. Numerics match the "xla" form to
+    reduction-order tolerance."""
+    nl = layout == "NL"
+    B = x.shape[0]
+    CF = x.shape[-1] if nl else x.shape[1]
+    cells = x.shape[1:-1] if nl else x.shape[2:]
+    F = rep_F(rep)
+    C = CF // F
+    needs_mask = any(f > 1 and p for f, p in rep)
+    if nl:
+        xb = x.reshape(B, *cells, C, F)
+        red = tuple(range(1, 1 + len(cells))) + (xb.ndim - 1,)
+    else:
+        xb = x.reshape(B, C, F, *cells)
+        red = tuple(range(2, xb.ndim))
+    msk = None
+    if needs_mask:
+        msk, n_real = artifact_mask(rep, cells)
+        if nl:
+            msk = jnp.moveaxis(msk, 0, -1)[None, ..., None, :]
+        xb = xb * msk.astype(xb.dtype)
+        n = n_real
+    else:
+        n = float(np.prod([xb.shape[a] for a in red]))
+    # (B, C, K) bf16 view; K collapses the minor dims only, so the reshape
+    # is layout-preserving in NC (and a single relayout in NL)
+    if nl:
+        xf = jnp.moveaxis(xb, -2, 1).reshape(B, C, -1)  # (B, C, cells*F)
+    else:
+        xf = xb.reshape(B, C, -1)
+    s1 = jnp.sum(xf, axis=-1, dtype=jnp.float32)              # (B, C)
+    s2 = jax.lax.dot_general(
+        xf, xf, (((2,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)                   # (B, C)
+    mean = s1 / n
+    var = s2 / n - jnp.square(mean)
+    a = jax.lax.rsqrt(var + 1e-5)
+    b = -mean * a
+    if scale is not None:
+        s = scale.astype(jnp.float32)[None, :]
+        a, b = a * s, b * s
+    if bias is not None:
+        b = b + bias.astype(jnp.float32)[None, :]
+    bshape = [1] * xb.ndim
+    bshape[0] = B
+    bshape[xb.ndim - 2 if nl else 1] = C
+    a, b = a.reshape(bshape), b.reshape(bshape)
+    y = xb.astype(jnp.float32) * a + b
     if act:
         y = jax.nn.leaky_relu(y, negative_slope=0.01)
     if needs_mask:

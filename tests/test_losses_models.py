@@ -119,16 +119,13 @@ def test_residual_unet_shapes():
     assert out.shape == (2, 16, 16, 2)
 
 
-def test_factory_from_plans(synthetic_raw_dataset):
-    from multimodal_mvd_seg_tpu.experiment_planning.api import (
-        extract_fingerprints, plan_experiments)
+def test_factory_from_plans(prepared_dataset_shared):
+    # session-preprocessed dataset: plans already exist (tests/conftest.py)
     from multimodal_mvd_seg_tpu.plans.plans_handler import PlansManager
     from multimodal_mvd_seg_tpu.models.factory import build_network_and_params
     from multimodal_mvd_seg_tpu.utils.files import load_json, join
 
-    extract_fingerprints([1], num_processes=1)
-    plan_experiments([1])
-    ds = synthetic_raw_dataset
+    ds = prepared_dataset_shared
     pm = PlansManager(join(ds["preprocessed"], ds["dataset_name"],
                            "nnUNetPlans.json"))
     dataset_json = load_json(join(ds["preprocessed"], ds["dataset_name"],

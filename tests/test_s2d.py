@@ -458,3 +458,34 @@ def test_cellconvspec_rejects_odd_phase1_length():
         CellConvSpec((3,), (2,), ((2, 0),), ((2, 1),), (3,))
     # the legit phase-up geometry still builds
     CellConvSpec((3,), (1,), ((2, 0),), ((2, 1),), (4,))
+
+
+def test_norm_impl_dot_matches_xla(monkeypatch):
+    """MVDSEG_NORM_IMPL=dot (f32-accumulating bf16 reductions, no f32
+    materialization) must match the default "xla" formulation to
+    reduction-order tolerance — masked (phase-up) and unmasked reps, both
+    layouts."""
+    import os
+    import jax.numpy as jnp
+    from multimodal_mvd_seg_tpu.ops import s2d
+
+    rng = np.random.RandomState(4)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (16,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    for rep, cells in ((s2d.rep_of((2, 2, 1)), (9, 9, 8)),
+                       (s2d.phase_up(s2d.rep_of((2, 2, 1))), (10, 10, 8)),
+                       (s2d.rep_of((1, 1, 1)), (8, 8, 8))):
+        F = s2d.rep_F(rep)
+        for layout in ("NC", "NL"):
+            shape = (2, 16 * F, *cells) if layout == "NC" \
+                else (2, *cells, 16 * F)
+            x = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+            monkeypatch.setenv("MVDSEG_NORM_IMPL", "xla")
+            ref = np.asarray(s2d.masked_instance_norm_act(
+                x, rep, scale, bias, layout=layout), np.float32)
+            monkeypatch.setenv("MVDSEG_NORM_IMPL", "dot")
+            got = np.asarray(s2d.masked_instance_norm_act(
+                x, rep, scale, bias, layout=layout), np.float32)
+            np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+            # bf16 grid: most entries should be bitwise identical
+            assert (got == ref).mean() > 0.95, (layout, rep)
