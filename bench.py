@@ -25,6 +25,42 @@ import optax
 A100_STEPS_PER_S = 250.0 / 120.0
 
 
+def build_network(s2d_layout: str = None):
+    """The benchmark network (PlainConvUNetCF at the MVD paper's 3d_fullres
+    shape) and its initialized params — shared with
+    batch_running/infer_bench.py (TTA-on sliding-window timing)."""
+    import os
+    if s2d_layout is None:
+        s2d_layout = os.environ.get("MVDSEG_BENCH_S2D_LAYOUT", "NC")
+    from multimodal_mvd_seg_tpu.models.unet import PlainConvUNetCF
+
+    patch = (64, 128, 256)
+    strides = [[1, 1, 1], [2, 2, 2], [2, 2, 2], [2, 2, 2], [2, 2, 2],
+               [1, 2, 2]]
+    # channels-first layout + space-to-depth execution of the two full-res
+    # stages: the TPU fast path (s2d turns the small-channel stage-0/1 convs
+    # into C>=128 cell convs the MXU runs 3.4x faster; measured 1.85 -> 3.0
+    # steps/s on this shape — see ops/s2d.py and models/blocks.py)
+    net = PlainConvUNetCF(
+        features_per_stage=[32, 64, 128, 256, 320, 320],
+        n_conv_per_stage_encoder=[2] * 6,
+        n_conv_per_stage_decoder=[2] * 5,
+        kernel_sizes=[[3, 3, 3]] * 6,
+        strides=strides,
+        num_classes=5,  # MVD: background + 4 key structures
+        deep_supervision=True,
+        s2d_stages=2,
+        s2d_factors=(2, 2, 1),
+        s2d_layout=s2d_layout)
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, *patch, 2), jnp.bfloat16)
+    # jitted init: eager flax init costs hundreds of tiny XLA programs
+    params = jax.jit(lambda r, t: net.init(r, t, train=False))(rng, x)[
+        "params"]
+    return net, params, patch, strides
+
+
 def build_step(s2d_layout: str = None, return_parts: bool = False):
     """The benchmark train step and its example arguments, unjitted —
     shared with batch_running/hlo_bytes.py (per-instruction HBM byte
@@ -39,40 +75,15 @@ def build_step(s2d_layout: str = None, return_parts: bool = False):
     import os
     if s2d_layout is None:
         s2d_layout = os.environ.get("MVDSEG_BENCH_S2D_LAYOUT", "NC")
-    from multimodal_mvd_seg_tpu.models.unet import PlainConvUNetCF
     from multimodal_mvd_seg_tpu.losses.compound import DC_and_CE_loss
     from multimodal_mvd_seg_tpu.losses.deep_supervision import (
         DeepSupervisionWrapper, default_ds_weights)
     from multimodal_mvd_seg_tpu.data.augment import downsample_seg_for_ds
 
-    patch = (64, 128, 256)
     batch = 2
     channels = 2
     classes = 5  # MVD: background + 4 key structures
-    strides = [[1, 1, 1], [2, 2, 2], [2, 2, 2], [2, 2, 2], [2, 2, 2], [1, 2, 2]]
-    features = [32, 64, 128, 256, 320, 320]
-
-    # channels-first layout + space-to-depth execution of the two full-res
-    # stages: the TPU fast path (s2d turns the small-channel stage-0/1 convs
-    # into C>=128 cell convs the MXU runs 3.4x faster; measured 1.85 -> 3.0
-    # steps/s on this shape — see ops/s2d.py and models/blocks.py)
-    net = PlainConvUNetCF(
-        features_per_stage=features,
-        n_conv_per_stage_encoder=[2] * 6,
-        n_conv_per_stage_decoder=[2] * 5,
-        kernel_sizes=[[3, 3, 3]] * 6,
-        strides=strides,
-        num_classes=classes,
-        deep_supervision=True,
-        s2d_stages=2,
-        s2d_factors=(2, 2, 1),
-        s2d_layout=s2d_layout)
-
-    rng = jax.random.PRNGKey(0)
-    x = jnp.zeros((batch, *patch, channels), jnp.bfloat16)
-    # jitted init: eager flax init costs hundreds of tiny XLA programs
-    params = jax.jit(lambda r, t: net.init(r, t, train=False))(rng, x)[
-        "params"]
+    net, params, patch, strides = build_network(s2d_layout)
 
     ds_scales = [list(1 / np.array(s)) for s in
                  np.cumprod(np.vstack(strides), axis=0)][:-1]

@@ -126,6 +126,16 @@ def _norm_impl() -> str:
     return os.environ.get("MVDSEG_NORM_IMPL", "xla")
 
 
+def _norm_elemwise() -> str:
+    """Precision of the norm's elementwise pass in the "xla" impl:
+    "f32" (historic default) computes ``y = x_f32*a + b`` in f32 and casts
+    the result; "bf16" pre-casts the per-(B, C) coefficients and keeps the
+    whole pass in bf16 — removes the full-size f32 materializations of x
+    (which otherwise feeds 3 consumers) at ≤1 ulp output difference."""
+    import os
+    return os.environ.get("MVDSEG_NORM_ELEMWISE", "f32")
+
+
 def instance_norm_act_cf(x, act: bool = True,
                          scale=None, bias=None) -> jnp.ndarray:
     """Instance norm (+ leaky relu) over the spatial axes of (B, C, *sp),
@@ -160,6 +170,22 @@ def instance_norm_act_cf(x, act: bool = True,
     if bias is not None:
         b = b + bias.astype(jnp.float32)[None, :]
     cshape = a.shape + (1,) * (x.ndim - 2)
+    if _norm_elemwise() == "bf16" and x.dtype == jnp.bfloat16:
+        # Elementwise pass entirely in bf16: the f32 form makes the f32
+        # view of x feed THREE consumers (both stats reductions + the
+        # y pass), and XLA materializes full-size f32 canonical-layout
+        # copies of the full-res activations (~0.55 GB each, see
+        # batch_running/hlo_bytes.py). With the coefficients pre-cast,
+        # xf only feeds the reductions (convert fuses into them) and the
+        # y pass reads/writes bf16 only. Numerics: y is cast to bf16 on
+        # return regardless, so rounding (a, b) first changes the result
+        # by at most one extra ulp — the same order as the existing
+        # output rounding (pinned in tests/test_s2d.py).
+        y = x * a.reshape(cshape).astype(jnp.bfloat16) \
+            + b.reshape(cshape).astype(jnp.bfloat16)
+        if act:
+            y = jax.nn.leaky_relu(y, negative_slope=0.01)
+        return y
     y = xf * a.reshape(cshape) + b.reshape(cshape)
     if act:
         y = jax.nn.leaky_relu(y, negative_slope=0.01)

@@ -407,6 +407,19 @@ def masked_instance_norm_act(x: jnp.ndarray, rep: Rep, scale, bias,
     bshape[0] = B
     bshape[xg.ndim - 2 if nl else 1] = C
     a, b = a.reshape(bshape), b.reshape(bshape)
+    from ..models.blocks import _norm_elemwise
+    if _norm_elemwise() == "bf16" and x.dtype == jnp.bfloat16:
+        # bf16 elementwise pass (see blocks._norm_elemwise): keeps the f32
+        # view of x out of the apply, so XLA never materializes full-size
+        # f32 copies of the full-res activations; ≤1 ulp vs the f32 form
+        # since y is cast to bf16 on return regardless.
+        xb = x.reshape(xg.shape)
+        y = xb * a.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)
+        if act:
+            y = jax.nn.leaky_relu(y, negative_slope=0.01)
+        if needs_mask:
+            y = y * msk.astype(jnp.bfloat16)
+        return y.reshape((B, *cells, CF) if nl else (B, CF, *cells))
     y = xg * a + b
     if act:
         y = jax.nn.leaky_relu(y, negative_slope=0.01)

@@ -489,3 +489,43 @@ def test_norm_impl_dot_matches_xla(monkeypatch):
             np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
             # bf16 grid: most entries should be bitwise identical
             assert (got == ref).mean() > 0.95, (layout, rep)
+
+
+def test_norm_elemwise_bf16_matches_f32(monkeypatch):
+    """MVDSEG_NORM_ELEMWISE=bf16 (apply pass in bf16 with pre-cast
+    coefficients — keeps full-size f32 materializations of x out of the
+    HLO) must match the f32 apply to ~1-2 bf16 ulps; exact zeros on
+    artifact rows must be preserved."""
+    import jax.numpy as jnp
+    from multimodal_mvd_seg_tpu.ops import s2d
+    from multimodal_mvd_seg_tpu.models.blocks import instance_norm_act_cf
+
+    rng = np.random.RandomState(5)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (16,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    monkeypatch.setenv("MVDSEG_NORM_IMPL", "xla")
+    for rep, cells in ((s2d.rep_of((2, 2, 1)), (9, 9, 8)),
+                       (s2d.phase_up(s2d.rep_of((2, 2, 1))), (10, 10, 8))):
+        F = s2d.rep_F(rep)
+        x = jnp.asarray(rng.normal(size=(2, 16 * F, *cells)), jnp.bfloat16)
+        monkeypatch.setenv("MVDSEG_NORM_ELEMWISE", "f32")
+        ref = np.asarray(s2d.masked_instance_norm_act(
+            x, rep, scale, bias), np.float32)
+        monkeypatch.setenv("MVDSEG_NORM_ELEMWISE", "bf16")
+        got = np.asarray(s2d.masked_instance_norm_act(
+            x, rep, scale, bias), np.float32)
+        np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+        assert (got == ref).mean() > 0.5, rep
+        # artifact rows stay exactly zero: the bf16 path must produce
+        # zeros wherever the f32 path did
+        if any(f > 1 and p for f, p in rep):
+            assert ((ref == 0) <= (got == 0)).all()
+    # channels-first (non-s2d) form
+    x = jnp.asarray(rng.normal(size=(2, 16, 8, 8, 8)), jnp.bfloat16)
+    monkeypatch.setenv("MVDSEG_NORM_ELEMWISE", "f32")
+    ref = np.asarray(instance_norm_act_cf(x, scale=scale, bias=bias),
+                     np.float32)
+    monkeypatch.setenv("MVDSEG_NORM_ELEMWISE", "bf16")
+    got = np.asarray(instance_norm_act_cf(x, scale=scale, bias=bias),
+                     np.float32)
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
