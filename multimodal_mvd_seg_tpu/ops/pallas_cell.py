@@ -1,0 +1,448 @@
+"""Pallas TPU kernels for the stride-1 s2d cell convolutions — the bench
+step's hot ops (batch_running/stage_timing.py: enc0+dec4 = 122 ms of the
+218 ms step, both bandwidth-bound at ~60% HBM with byte counts ~5x their
+arithmetic floor).
+
+Design (NL cell layout — channels last, C*F >= 128 on the lane axis):
+
+    y[b, z, y, k, :] = sum_{taps p} x[b, (z,y,k) + p, :] @ W_p
+
+Each tap is a (M, CF_in) @ (CF_in, CF_out) matmul with full 128-lane
+contraction — no K padding, no im2col materialization, and the spatial
+shifts are sublane/major-dim slices of the VMEM tile (free-ish), unlike
+the channels-first form where XLA fences every phase-up conv with
+~0.58 GB relayout copies. Measured standalone on the dec4 block1 shape
+(2, 33, 65, 256, 128)->(2, 32, 64, 256, 128): 5.6 ms vs XLA's 9.0 ms
+(73 vs 45 TF/s dense), bit-identical output.
+
+Fusion: the kernel also
+  - zeroes the phase-up artifact rows of the output (the rows
+    ops/s2d.py::artifact_mask would zero), and
+  - emits per-lane partial sums (s1, s2) of the masked f32 accumulator,
+so the instance-norm statistics come out of the conv pass for free (the
+separate stats-reduce re-reads disappear, and the (B, C) moments are
+computed from f32 accumulators rather than the rounded bf16 output).
+The norm APPLY stays in plain jnp (ops/s2d.py::apply_norm_act_from_stats)
+so autodiff handles the stats coupling through the tiny (B, C) graph.
+
+Backward is a custom VJP:
+  - dx = the same conv kernel with tap-transposed/flipped weights,
+  - dW = a reduction kernel accumulating x^T @ dy per tap across the
+    sequential TPU grid (constant out index_map),
+with the ds1/ds2 stats cotangents folded into dy on the fly.
+
+Used by models/blocks.py::ConvNormActS2D when MVDSEG_CELL_IMPL=pallas
+(TPU backends only; CPU keeps the XLA path — Pallas TPU kernels do not
+run there). Reference semantics: the cell conv this replaces is
+numerically the nnU-Net stride-1 3^3 conv stage
+(/root/reference/nnUNet/nnunetv2/training/nnUNetTrainer/nnUNetTrainer.py
+conv blocks); equivalence with the XLA cell path is pinned in
+tests/test_pallas_cell.py.
+"""
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# --------------------------------------------------------------------------
+# static geometry
+# --------------------------------------------------------------------------
+
+def _ceil(a, b):
+    return -(-a // b)
+
+
+# tests set this True to run the kernels in the Pallas interpreter on CPU
+INTERPRET = False
+
+
+def _pick_tiles(out_lens: Sequence[int], cf_in: int, cf_out: int,
+                n_inputs: int, kc: Sequence[int]) -> Tuple[int, int, int]:
+    """Output tile (t1, t2, t3). The minor cell axis t3 carries the
+    sublanes; halo windows are read 8-padded so DMA sizes stay aligned.
+    VMEM budget: n_inputs halo tiles (bf16) + f32 acc + bf16 out + weights."""
+    t3 = 32 if out_lens[2] >= 32 else max(8, 1 << int(
+        np.floor(np.log2(max(out_lens[2], 1)))))
+    t2 = 8
+    t1 = 4
+    def vmem(t1, t2, t3):
+        halo = (t1 + kc[0] - 1) * (t2 + kc[1] - 1) * (t3 + 8) * cf_in * 2
+        acc = t1 * t2 * t3 * cf_out * 4
+        out = t1 * t2 * t3 * cf_out * 2
+        w = int(np.prod(kc)) * cf_in * cf_out * 2 * n_inputs
+        return n_inputs * halo + acc + out + w
+    while vmem(t1, t2, t3) > 10 * 1024 * 1024 and t1 > 1:
+        t1 //= 2
+    return t1, t2, t3
+
+
+# --------------------------------------------------------------------------
+# forward kernel: multi-input conv + artifact/bounds mask + stats partials
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(*refs, n_in, kc, tiles, out_lens, rep_out, cf_out,
+                with_stats):
+    # refs: x_0..x_{n-1} (ANY/HBM, halo-padded), w (VMEM, (n_in, T, CFi,
+    # CFo)), o (VMEM block), [s1, s2 (VMEM blocks)], xt_0.., acc, sem
+    t1, t2, t3 = tiles
+    xs = refs[:n_in]
+    w_ref = refs[n_in]
+    o_ref = refs[n_in + 1]
+    k = n_in + 2
+    if with_stats:
+        s_ref = refs[k]          # (1, 8, cf) block, resident per batch
+        k += 1
+    xts = refs[k:k + n_in]
+    acc = refs[k + n_in]
+    sem = refs[k + n_in + 1]
+
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    ki = pl.program_id(3)
+    h1, h2, h3 = t1 + kc[0] - 1, t2 + kc[1] - 1, t3 + 8
+
+    for i in range(n_in):
+        dma = pltpu.make_async_copy(
+            xs[i].at[b, pl.ds(zi * t1, h1), pl.ds(yi * t2, h2),
+                     pl.ds(ki * t3, h3), :],
+            xts[i], sem)
+        dma.start()
+        dma.wait()
+
+    acc[...] = jnp.zeros_like(acc)
+    for i in range(n_in):
+        for dz in range(kc[0]):
+            for dy in range(kc[1]):
+                for dk in range(kc[2]):
+                    tap = (dz * kc[1] + dy) * kc[2] + dk
+                    a = xts[i][dz:dz + t1, dy:dy + t2, dk:dk + t3, :]
+                    acc[...] += jax.lax.dot_general(
+                        a, w_ref[i, tap], (((3,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+    # bounds + artifact mask over the OUTPUT tile. Bounds: cells beyond
+    # out_lens (grid padding) are invalid. Artifacts: a phase-1 factor-f
+    # axis carries artifact SLOTS (sub-index i == 0 at cell 0, i == f-1 at
+    # cell n-1) — per (cell, lane-subgroup) pairs, NOT whole cells
+    # (ops/s2d.py::_artifact_mask_np).
+    coords = [jax.lax.broadcasted_iota(jnp.int32, (t1, t2, t3, 1), a)
+              + pl.program_id(1 + a) * tiles[a] for a in range(3)]
+    m = ((coords[0] < out_lens[0]) & (coords[1] < out_lens[1])
+         & (coords[2] < out_lens[2]))
+    # per-lane sub-slot indices built from iota (array constants cannot be
+    # captured by a pallas kernel): lane = c*F + f, f mixed-radix over the
+    # axes, axis 0 most significant (the order CellConvSpec scatters in)
+    fs = [f for f, _ in rep_out]
+    F = int(np.prod(fs))
+    lam = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, cf_out), 3) % F
+    rad = F
+    for a, (f, ph) in enumerate(rep_out):
+        rad //= f
+        if f > 1 and ph:
+            ia = (lam // rad) % f
+            bad = (((coords[a] == 0) & (ia == 0))
+                   | ((coords[a] == out_lens[a] - 1) & (ia == f - 1)))
+            m = m & ~bad
+    av = jnp.where(m, acc[...], 0.0)
+    o_ref[...] = av.astype(o_ref.dtype).reshape(o_ref.shape)
+    if with_stats:
+        # accumulate the masked moments into the batch's VMEM-resident
+        # (1, 8, cf) stats block (constant index_map in z/y/k -> the block
+        # persists across this batch's programs): row 0 = sum(y),
+        # row 1 = sum(y^2), rows 2..7 unused tile padding
+        first = (zi == 0) & (yi == 0) & (ki == 0)
+
+        @pl.when(first)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+
+        part = jnp.stack([jnp.sum(av, axis=(0, 1, 2)),
+                          jnp.sum(av * av, axis=(0, 1, 2))])
+        s_ref[0, 0:2, :] += part
+
+
+def _conv_fwd(xs, ws, kc, pads, out_lens, rep_out, with_stats):
+    """xs: list of (B, n1, n2, n3, CF_in) NL cell tensors (UNPADDED);
+    ws: list of (T, CF_in, CF_out) tap weights; pads: per-axis (lo, hi).
+    Returns y (B, *out_lens, CF_out) [, s1, s2 (B, grid_prod, CF_out)]."""
+    B = xs[0].shape[0]
+    cf_in = xs[0].shape[-1]
+    cf_out = ws[0].shape[-1]
+    n_in = len(xs)
+    t1, t2, t3 = tiles = _pick_tiles(out_lens, cf_in, cf_out, n_in, kc)
+    grid = (B, _ceil(out_lens[0], t1), _ceil(out_lens[1], t2),
+            _ceil(out_lens[2], t3))
+    # pad each input so every halo window is in-bounds:
+    # axis a needs [o .. o + t + kc - 2] for o in [0, grid*t), relative to
+    # the padded array where logical cell -pads_lo sits at 0.
+    xps = []
+    for x in xs:
+        padcfg = [(0, 0)]
+        for a, (t, g) in enumerate(zip(tiles, grid[1:])):
+            need = g * t + kc[a] - 1 + (8 - kc[a] + 1 if a == 2 else 0)
+            lo = pads[a][0]
+            hi = max(0, need - lo - x.shape[1 + a])
+            padcfg.append((lo, hi))
+        padcfg.append((0, 0))
+        xps.append(jnp.pad(x, padcfg))
+    w_stack = jnp.stack(ws).astype(xs[0].dtype)    # (n_in, T, CFi, CFo)
+
+    kernel = functools.partial(
+        _fwd_kernel, n_in=n_in, kc=tuple(kc), tiles=tiles,
+        out_lens=tuple(out_lens), rep_out=tuple(rep_out), cf_out=cf_out,
+        with_stats=with_stats)
+
+    h1, h2, h3 = t1 + kc[0] - 1, t2 + kc[1] - 1, t3 + 8
+    out_shapes = [jax.ShapeDtypeStruct((B, *out_lens, cf_out),
+                                       xs[0].dtype)]
+    out_specs = [pl.BlockSpec((1, t1, t2, t3, cf_out),
+                              lambda b, z, y, k: (b, z, y, k, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_stats:
+        out_shapes.append(jax.ShapeDtypeStruct((B, 8, cf_out),
+                                               jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, 8, cf_out), lambda b, z, y, k: (b, 0, 0),
+            memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=out_specs if with_stats else out_specs[0],
+        out_shape=out_shapes if with_stats else out_shapes[0],
+        scratch_shapes=[pltpu.VMEM((h1, h2, h3, cf_in), xs[0].dtype)
+                        for _ in range(n_in)]
+        + [pltpu.VMEM((t1, t2, t3, cf_out), jnp.float32),
+           pltpu.SemaphoreType.DMA],
+        interpret=INTERPRET,
+    )(*xps, w_stack)
+    if with_stats:
+        y, stats = res
+        return y, stats[:, 0], stats[:, 1]         # (B, CF_out) each
+    return res
+
+
+# --------------------------------------------------------------------------
+# weight-gradient kernel: dW[i, tap] = sum_cells x_i[o + tap] dy[o]
+# --------------------------------------------------------------------------
+
+def _wgrad_kernel(*refs, n_in, kc, tiles, cf_in, cf_out):
+    # accumulates straight into the (constant index_map) output block,
+    # which stays VMEM-resident across the sequential TPU grid — no
+    # separate accumulator (at CF=256 a second copy would blow VMEM)
+    t1, t2, t3 = tiles
+    xs = refs[:n_in]
+    dy_ref = refs[n_in]
+    dw_ref = refs[n_in + 1]
+    xts = refs[n_in + 2:2 * n_in + 2]
+    dyt = refs[2 * n_in + 2]
+    sem = refs[2 * n_in + 3]
+
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    ki = pl.program_id(3)
+    h1, h2, h3 = t1 + kc[0] - 1, t2 + kc[1] - 1, t3 + 8
+
+    first = (b == 0) & (zi == 0) & (yi == 0) & (ki == 0)
+
+    for i in range(n_in):
+        dma = pltpu.make_async_copy(
+            xs[i].at[b, pl.ds(zi * t1, h1), pl.ds(yi * t2, h2),
+                     pl.ds(ki * t3, h3), :], xts[i], sem)
+        dma.start()
+        dma.wait()
+    dma = pltpu.make_async_copy(
+        dy_ref.at[b, pl.ds(zi * t1, t1), pl.ds(yi * t2, t2),
+                  pl.ds(ki * t3, t3), :], dyt, sem)
+    dma.start()
+    dma.wait()
+
+    @pl.when(first)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    g = dyt[...].reshape(t1 * t2 * t3, cf_out)
+    for i in range(n_in):
+        for dz in range(kc[0]):
+            for dy in range(kc[1]):
+                for dk in range(kc[2]):
+                    tap = (dz * kc[1] + dy) * kc[2] + dk
+                    a = xts[i][dz:dz + t1, dy:dy + t2, dk:dk + t3, :] \
+                        .reshape(t1 * t2 * t3, cf_in)
+                    dw_ref[i, tap] += jax.lax.dot_general(
+                        a, g, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+
+def _conv_wgrad(xs, dy, kc, pads, out_lens):
+    """dy: (B, *out_lens, CF_out) MASKED cotangent; xs as in _conv_fwd.
+    Returns list of (T, CF_in, CF_out) f32 tap grads."""
+    B = xs[0].shape[0]
+    cf_in = xs[0].shape[-1]
+    cf_out = dy.shape[-1]
+    n_in = len(xs)
+    t1, t2, t3 = tiles = _pick_tiles(out_lens, cf_in, cf_out, n_in, kc)
+    grid = (B, _ceil(out_lens[0], t1), _ceil(out_lens[1], t2),
+            _ceil(out_lens[2], t3))
+    xps = []
+    for x in xs:
+        padcfg = [(0, 0)]
+        for a, (t, g) in enumerate(zip(tiles, grid[1:])):
+            need = g * t + kc[a] - 1 + (8 - kc[a] + 1 if a == 2 else 0)
+            lo = pads[a][0]
+            hi = max(0, need - lo - x.shape[1 + a])
+            padcfg.append((lo, hi))
+        padcfg.append((0, 0))
+        xps.append(jnp.pad(x, padcfg))
+    # dy padded to the grid (out-of-bounds rows must be ZERO: they are,
+    # because dy is already masked and jnp.pad zero-fills)
+    dyp = jnp.pad(dy, [(0, 0)] + [
+        (0, g * t - n) for g, t, n in zip(grid[1:], tiles, out_lens)]
+        + [(0, 0)])
+
+    T = int(np.prod(kc))
+    kernel = functools.partial(_wgrad_kernel, n_in=n_in, kc=tuple(kc),
+                               tiles=tiles, cf_in=cf_in, cf_out=cf_out)
+    h1, h2, h3 = t1 + kc[0] - 1, t2 + kc[1] - 1, t3 + 8
+    dw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_in + 1),
+        out_specs=pl.BlockSpec((n_in, T, cf_in, cf_out),
+                               lambda b, z, y, k: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_in, T, cf_in, cf_out),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h1, h2, h3, cf_in), xs[0].dtype)
+                        for _ in range(n_in)]
+        + [pltpu.VMEM((t1, t2, t3, cf_out), dy.dtype),
+           pltpu.SemaphoreType.DMA],
+        interpret=INTERPRET,
+    )(*xps, dyp)
+    return [dw[i] for i in range(n_in)]
+
+
+# --------------------------------------------------------------------------
+# public op with custom VJP
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def cell_conv_stats(xs: Tuple[jnp.ndarray, ...],
+                    ws: Tuple[jnp.ndarray, ...],
+                    kc: Tuple[int, ...],
+                    pads: Tuple[Tuple[int, int], ...],
+                    out_lens: Tuple[int, ...],
+                    rep_out: Tuple[Tuple[int, int], ...],
+                    in_lens: Tuple[Tuple[int, ...], ...]):
+    """Stride-1 NL cell conv over one or more (x, w) contributions summed,
+    with the phase artifact rows of the output zeroed and per-(B, lane)
+    f32 moments (s1, s2) of the masked output emitted from the same pass.
+
+    xs[i]: (B, *in_lens[i], CF_in) bf16; ws[i]: (T, CF_in, CF_out).
+    Returns (y, s1, s2): y (B, *out_lens, CF_out) bf16, s (B, CF_out) f32.
+    """
+    return _conv_fwd(list(xs), list(ws), kc, pads, out_lens, rep_out,
+                     True)
+
+
+def _ccs_fwd(xs, ws, kc, pads, out_lens, rep_out, in_lens):
+    y, s1, s2 = _conv_fwd(list(xs), list(ws), kc, pads, out_lens, rep_out,
+                          True)
+    return (y, s1, s2), (xs, ws, y)
+
+
+def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, res, cts):
+    xs, ws, y = res
+    dy, ds1, ds2 = cts
+    # stats cotangents fold elementwise into dy; y's artifact rows are
+    # already zero so the mask is implicit in y, but dy itself must be
+    # masked (downstream may carry nonzero cotangent on artifact rows —
+    # e.g. through the exit apply's bias term).
+    dy = dy.astype(jnp.float32)
+    if ds1 is not None:
+        dy = dy + ds1[:, None, None, None, :]
+    if ds2 is not None:
+        dy = dy + 2.0 * ds2[:, None, None, None, :] * y.astype(jnp.float32)
+    # re-mask: zero bounds/artifact rows of dy
+    msk = _out_mask(out_lens, rep_out, dy.shape[-1], dy.dtype)
+    dy = (dy * msk).astype(xs[0].dtype)
+
+    # dx_i: conv of dy with tap-reversed, io-transposed weights; pads
+    # flip to (kc-1-lo, kc-1-hi); output lens = in_lens[i]; phases of the
+    # INPUT rep... dx must not be masked (the fwd reads all input rows,
+    # including artifact rows — their cotangent is legitimately nonzero
+    # only through pads; mask with the input's own validity is WRONG here:
+    # fwd consumed those rows, so keep whatever the conv produces).
+    dxs = []
+    dws = _conv_wgrad([x for x in xs], dy, kc, pads, out_lens)
+    for i, (x, w) in enumerate(zip(xs, ws)):
+        wt = jnp.flip(w, axis=0).transpose(0, 2, 1)   # (T, CFo, CFi)
+        dpads = tuple((k - 1 - lo, k - 1 - hi)
+                      for k, (lo, hi) in zip(kc, pads))
+        dx = _conv_fwd([dy], [wt], kc, dpads, tuple(in_lens[i]),
+                       ((1, 0),) * len(kc), False)
+        dxs.append(dx.astype(x.dtype))
+    return tuple(dxs), tuple(dw.astype(w.dtype)
+                             for dw, w in zip(dws, ws))
+
+
+cell_conv_stats.defvjp(_ccs_fwd, _ccs_bwd)
+
+
+def _out_mask(out_lens, rep_out, cf, dtype):
+    """(1, *out_lens, cf) NL mask zeroing the phase artifact slots — the
+    per-(cell, sub-slot) structure of ops/s2d.py::_artifact_mask_np,
+    broadcast per logical channel over the lane axis. Built from iota so
+    no full-size constant is embedded in the program (a materialized
+    dec4-shaped f32 mask is ~0.3 GB of HLO constant)."""
+    shape = (1, *out_lens, cf)
+    m = None
+    fs = [f for f, _ in rep_out]
+    F = int(np.prod(fs))
+    lam = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1) % F
+    rad = F
+    for a, (f, ph) in enumerate(rep_out):
+        rad //= f
+        if f > 1 and ph:
+            ca = jax.lax.broadcasted_iota(jnp.int32, shape, 1 + a)
+            ia = (lam // rad) % f
+            bad = (((ca == 0) & (ia == 0))
+                   | ((ca == out_lens[a] - 1) & (ia == f - 1)))
+            m = bad if m is None else (m | bad)
+    if m is None:
+        return jnp.ones(shape, dtype)
+    return jnp.where(m, jnp.zeros((), dtype), jnp.ones((), dtype))
+
+
+# --------------------------------------------------------------------------
+# reference (pure jnp) — for tests and CPU fallback of the same semantics
+# --------------------------------------------------------------------------
+
+def cell_conv_stats_reference(xs, ws, kc, pads, out_lens, rep_out,
+                              in_lens):
+    """Same contract as cell_conv_stats via lax.conv (NL dimension
+    numbers) — used by tests to pin the Pallas kernels."""
+    y = None
+    for x, w in zip(xs, ws):
+        # w (T, CFi, CFo) -> OIDHW (CFo, CFi, *kc); f32 throughout (the
+        # bf16->f32 casts are exact, and uniform dtypes keep the conv
+        # transpose rule happy under jax.grad)
+        wc = jnp.moveaxis(w.reshape(*kc, *w.shape[1:]), (3, 4), (1, 0))
+        yi = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), wc.astype(jnp.float32),
+            (1,) * len(kc), list(pads),
+            dimension_numbers=("NDHWC", "OIDHW", "NDHWC"))
+        y = yi if y is None else y + yi
+    y = y * _out_mask(out_lens, rep_out, y.shape[-1], y.dtype)
+    s1 = y.sum(axis=(1, 2, 3))
+    s2 = (y * y).sum(axis=(1, 2, 3))
+    return y.astype(xs[0].dtype), s1, s2

@@ -429,6 +429,54 @@ def masked_instance_norm_act(x: jnp.ndarray, rep: Rep, scale, bias,
     return y.reshape(out_shape).astype(x.dtype)
 
 
+def apply_norm_act_from_stats(y_raw: jnp.ndarray, s1: jnp.ndarray,
+                              s2: jnp.ndarray, rep: Rep, scale, bias,
+                              act: bool = True) -> jnp.ndarray:
+    """Instance-norm apply + leaky relu given precomputed per-lane f32
+    moment sums (s1 = Σy, s2 = Σy² over the masked cells, (B, C*F)) — the
+    fused-kernel path (ops/pallas_cell.py) emits these from the conv pass,
+    so no reduction re-reads the tensor here. NL layout only
+    (y_raw: (B, *cells, C*F) with artifact rows already zeroed).
+
+    The apply runs in bf16 with pre-cast coefficients (see
+    models/blocks._norm_elemwise — y is bf16 on return regardless), and
+    the tiny (B, C) statistics graph stays in autodiff-land so the norm's
+    stats coupling back-propagates through s1/s2 into the kernel's VJP."""
+    B = y_raw.shape[0]
+    cells = y_raw.shape[1:-1]
+    CF = y_raw.shape[-1]
+    F = rep_F(rep)
+    C = CF // F
+    needs_mask = any(f > 1 and p for f, p in rep)
+    if needs_mask:
+        msk, n_real = artifact_mask(rep, cells)
+        msk = jnp.moveaxis(msk, 0, -1)[None, ..., None, :]  # NL broadcast
+    else:
+        n_real = float(np.prod(cells)) * F
+    S1 = s1.reshape(B, C, F).sum(-1)
+    S2 = s2.reshape(B, C, F).sum(-1)
+    mean = S1 / n_real
+    var = S2 / n_real - jnp.square(mean)
+    a = jax.lax.rsqrt(var + 1e-5)
+    b = -mean * a
+    if scale is not None:
+        s = scale.astype(jnp.float32)[None, :]
+        a, b = a * s, b * s
+    if bias is not None:
+        b = b + bias.astype(jnp.float32)[None, :]
+    # per-lane coefficients (lane = c*F + f), broadcast over cells
+    A = jnp.repeat(a, F, axis=1).reshape(B, *(1,) * len(cells), CF)
+    Bc = jnp.repeat(b, F, axis=1).reshape(B, *(1,) * len(cells), CF)
+    y = y_raw * A.astype(y_raw.dtype) + Bc.astype(y_raw.dtype)
+    if act:
+        y = jax.nn.leaky_relu(y, negative_slope=0.01)
+    if needs_mask:
+        # re-zero artifact rows (the affine/act made them b-valued)
+        grouped = y.reshape(B, *cells, C, F)
+        y = (grouped * msk.astype(y.dtype)).reshape(B, *cells, CF)
+    return y
+
+
 def _instance_norm_act_dot(x: jnp.ndarray, rep: Rep, scale, bias,
                            act: bool = True, layout: str = "NC"):
     """Instance norm + leaky relu with NO full-size f32 materialization

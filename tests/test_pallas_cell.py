@@ -1,0 +1,157 @@
+"""Pallas stride-1 cell-conv kernels (ops/pallas_cell.py) vs the XLA cell
+path — run in the Pallas interpreter on CPU (on the bench TPU the forward
+kernel measured bit-identical to the XLA cell conv; here accumulation
+order differs, so comparisons are to bf16-rounding tolerance)."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from multimodal_mvd_seg_tpu.ops import pallas_cell as pc  # noqa: E402
+from multimodal_mvd_seg_tpu.ops import s2d  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(pc, "INTERPRET", True)
+
+
+_rs = np.random.RandomState(0)
+
+
+def _mk(shape, scale=0.3, dtype=jnp.bfloat16):
+    return jnp.asarray(_rs.normal(size=shape).astype(np.float32) * scale
+                       ).astype(dtype)
+
+
+CASES = [
+    # (n_in, in_lens, out_lens, kc, pads, rep_out, cf)
+    ("ph0_to_ph1", 1, (8, 8, 16), (9, 9, 16), (2, 2, 3),
+     ((1, 1), (1, 1), (1, 1)), ((2, 1), (2, 1), (1, 0)), 128),
+    ("ph1_to_ph0", 1, (9, 9, 16), (8, 8, 16), (2, 2, 3),
+     ((0, 0), (0, 0), (1, 1)), ((2, 0), (2, 0), (1, 0)), 128),
+    ("split_weight_2in", 2, (8, 8, 16), (9, 9, 16), (2, 2, 3),
+     ((1, 1), (1, 1), (1, 1)), ((2, 1), (2, 1), (1, 0)), 128),
+    ("odd_lens_cf256", 1, (9, 17, 16), (8, 16, 16), (2, 2, 3),
+     ((0, 0), (0, 0), (1, 1)), ((2, 0), (2, 0), (1, 0)), 256),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_kernel_fwd_and_grads_match_reference(case):
+    """Forward, fused stats, and the custom VJP (dx per input, dW per
+    tap) against the pure-lax reference, with the loss touching y, s1,
+    AND s2 so the stats cotangent path is exercised."""
+    _, n_in, in_lens, out_lens, kc, pads, rep_out, cf = case
+    xs = tuple(_mk((1, *in_lens, cf)) for _ in range(n_in))
+    ws = tuple(_mk((int(np.prod(kc)), cf, cf), 0.1) for _ in range(n_in))
+    args = (kc, pads, out_lens, rep_out,
+            tuple(in_lens for _ in range(n_in)))
+
+    y, s1, s2 = pc.cell_conv_stats(xs, ws, *args)
+    yr, s1r, s2r = pc.cell_conv_stats_reference(xs, ws, *args)
+    ymax = float(jnp.max(jnp.abs(yr.astype(jnp.float32)))) + 1e-6
+    assert float(jnp.max(jnp.abs(
+        y.astype(jnp.float32) - yr.astype(jnp.float32)))) / ymax < 2e-2
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s1r),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r),
+                               rtol=1e-3, atol=1e-2)
+    # artifact slots of the output are exactly zero
+    msk = np.asarray(pc._out_mask(out_lens, rep_out, cf, jnp.float32))
+    assert (np.asarray(y, np.float32)[np.broadcast_to(
+        msk == 0, y.shape)] == 0).all()
+
+    def loss(op):
+        def f(xs, ws):
+            y, s1, s2 = op(xs, ws, *args)
+            return (jnp.sum(y.astype(jnp.float32) ** 2)
+                    + jnp.sum(s1 * s2) + jnp.sum(jnp.sin(s2)))
+        return f
+
+    gp = jax.grad(loss(pc.cell_conv_stats), argnums=(0, 1))(xs, ws)
+    gr = jax.grad(loss(pc.cell_conv_stats_reference),
+                  argnums=(0, 1))(xs, ws)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        aa, bb = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(aa - bb).max() / (np.abs(bb).max() + 1e-6)
+        assert rel < 5e-2, rel
+
+
+def test_block_f32_end_to_end_grad_equivalence(monkeypatch):
+    """StackedConvBlocksS2D with MVDSEG_CELL_IMPL=pallas vs the XLA path,
+    in f32 so instance-norm scale-invariance cancellation doesn't turn
+    rounding noise into chaos (in bf16 even two pure-XLA precisions of
+    the elementwise pass diverge by 10-50x on these grads). The conv
+    BIAS grad is excluded: under the instance norm it is exactly zero,
+    which the pallas path returns exactly while autodiff returns
+    numerical junk of the same (null) information content."""
+    from multimodal_mvd_seg_tpu.models.blocks import StackedConvBlocksS2D
+
+    x = jnp.moveaxis(jnp.asarray(
+        _rs.normal(size=(2, 128, 8, 8, 16)).astype(np.float32) * .4),
+        1, -1)
+    m = StackedConvBlocksS2D(2, 32, (3, 3, 3), (1, 1, 1), (2, 2, 1),
+                             (2, 2, 1), layout="NL", layout_in="NL",
+                             dtype=jnp.float32)
+    vs = m.init(jax.random.PRNGKey(0), x)
+
+    def run(impl):
+        monkeypatch.setenv("MVDSEG_CELL_IMPL", impl)
+
+        def f(v, t):
+            y = m.apply(v, t)
+            return jnp.sum(y ** 2) + jnp.sum(jnp.sin(y))
+        return jax.value_and_grad(f)(vs, x)
+
+    l_x, g_x = run("xla")
+    l_p, g_p = run("pallas")
+    assert abs(float(l_x) - float(l_p)) / abs(float(l_x)) < 1e-5
+    gp = {jax.tree_util.keystr(k): v for k, v in
+          jax.tree_util.tree_leaves_with_path(g_p)}
+    for k, vx in jax.tree_util.tree_leaves_with_path(g_x):
+        ks = jax.tree_util.keystr(k)
+        if "conv']['bias" in ks:
+            assert float(jnp.abs(gp[ks]).max()) == 0.0
+            continue
+        aa = np.asarray(vx, np.float32)
+        bb = np.asarray(gp[ks], np.float32)
+        rel = np.abs(aa - bb).max() / (np.abs(aa).max() + 1e-6)
+        assert rel < 2e-2, (ks, rel)
+
+
+def test_block_bf16_forward_equivalence(monkeypatch):
+    """bf16 forward of the full stage matches the XLA path to ~1-2 ulp."""
+    from multimodal_mvd_seg_tpu.models.blocks import StackedConvBlocksS2D
+
+    x = jnp.moveaxis(_mk((2, 128, 8, 8, 16), 0.4), 1, -1)
+    m = StackedConvBlocksS2D(2, 32, (3, 3, 3), (1, 1, 1), (2, 2, 1),
+                             (2, 2, 1), layout="NL", layout_in="NL")
+    vs = m.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("MVDSEG_CELL_IMPL", "xla")
+    yx = np.asarray(m.apply(vs, x), np.float32)
+    monkeypatch.setenv("MVDSEG_CELL_IMPL", "pallas")
+    yp = np.asarray(m.apply(vs, x), np.float32)
+    rel = np.abs(yx - yp).max() / (np.abs(yx).max() + 1e-6)
+    assert rel < 2e-2, rel
+
+
+def test_pallas_dispatch_eligibility(monkeypatch):
+    """The pallas path only engages for NL, stride-1, lane-aligned cell
+    convs; everything else must silently keep the XLA path (here: NC
+    layout, which would fail the pallas assertions if dispatched)."""
+    from multimodal_mvd_seg_tpu.models.blocks import ConvNormActS2D
+
+    monkeypatch.setenv("MVDSEG_CELL_IMPL", "pallas")
+    rep0 = s2d.rep_of((2, 2, 1))
+    rep1 = s2d.phase_up(rep0)
+    x = _mk((1, 128, 8, 8, 16))  # NC
+    m = ConvNormActS2D(32, (3, 3, 3), (1, 1, 1), rep0, rep1)
+    vs = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(vs, x)  # must not raise
+    assert y.shape == (1, 128, 9, 9, 16)
