@@ -31,7 +31,13 @@ def build_network(s2d_layout: str = None):
     batch_running/infer_bench.py (TTA-on sliding-window timing)."""
     import os
     if s2d_layout is None:
-        s2d_layout = os.environ.get("MVDSEG_BENCH_S2D_LAYOUT", "NC")
+        # NL is the Pallas cell-conv path's layout (ops/pallas_cell.py,
+        # blocks._cell_impl "auto" = pallas on TPU backends): measured
+        # 5.78 vs 4.62 steps/s on the v5e. On CPU the pallas kernels
+        # don't run, and NL+xla measured slower than NC+xla (4.41 vs
+        # 4.62), so each backend defaults to its winning combination.
+        default = "NC" if jax.default_backend() == "cpu" else "NL"
+        s2d_layout = os.environ.get("MVDSEG_BENCH_S2D_LAYOUT", default)
     from multimodal_mvd_seg_tpu.models.unet import PlainConvUNetCF
 
     patch = (64, 128, 256)
@@ -66,15 +72,12 @@ def build_step(s2d_layout: str = None, return_parts: bool = False):
     shared with batch_running/hlo_bytes.py (per-instruction HBM byte
     attribution of this exact executable). ``s2d_layout`` picks the cell
     layout of the space-to-depth stages ("NC"/"NL", see ops/s2d.py);
-    default from $MVDSEG_BENCH_S2D_LAYOUT, falling back to "NC".
+    default from $MVDSEG_BENCH_S2D_LAYOUT, else NL on TPU / NC on CPU.
 
     ``return_parts``: additionally return a dict of the step's pieces
     (eval fwd, train fwd, fwd+bwd, DS loss alone, optimizer alone), each
     an unjitted closure — batch_running/mfu.py times them for the
     per-part rows of documentation/tpu_performance.md's MFU table."""
-    import os
-    if s2d_layout is None:
-        s2d_layout = os.environ.get("MVDSEG_BENCH_S2D_LAYOUT", "NC")
     from multimodal_mvd_seg_tpu.losses.compound import DC_and_CE_loss
     from multimodal_mvd_seg_tpu.losses.deep_supervision import (
         DeepSupervisionWrapper, default_ds_weights)

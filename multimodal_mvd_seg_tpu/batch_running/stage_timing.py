@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--peak-tf", type=float, default=197.0)
     ap.add_argument("--peak-gbs", type=float, default=819.0)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="probe only these stage names (e.g. enc0 dec4) — "
+                         "each probe costs two slow tunnel compiles")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +62,8 @@ def main():
                                  ConvTransposeCF, ConvTransposeS2D)
     from ..ops import s2d as _s2d
 
+    import os
+    layout = os.environ.get("MVDSEG_BENCH_S2D_LAYOUT", "NC")
     patch = (64, 128, 256)
     B, channels = 2, 2
     features = [32, 64, 128, 256, 320, 320]
@@ -73,6 +78,9 @@ def main():
 
     def factored(s):
         return any(f > 1 for f in sf[s])
+
+    def lay(s):
+        return "NL" if factored(s) and layout == "NL" else "NC"
 
     def spatial_at(s):
         sp = np.array(patch)
@@ -89,13 +97,18 @@ def main():
 
     rs = np.random.RandomState(0)
 
-    def rnd(shape):
-        return jnp.asarray(rs.normal(size=shape).astype(np.float32)
-                           ).astype(jnp.bfloat16)
+    def rnd(shape, s=0):
+        """stage-s activation in the bench layout (NC, or NL when the
+        stage is factored and MVDSEG_BENCH_S2D_LAYOUT=NL)."""
+        x = jnp.asarray(rs.normal(size=shape).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        return jnp.moveaxis(x, 1, -1) if lay(s) == "NL" else x
 
     rows = []
 
     def probe(name, module, *xs):
+        if args.only and name not in args.only:
+            return
         vs = jax.jit(lambda r: module.init(r, *xs))(jax.random.PRNGKey(0))
 
         def fwd(v, *t):
@@ -129,11 +142,18 @@ def main():
         C_in = channels if s == 0 else features[s - 1]
         # input: stage-(s-1) activation (cell domain at in_f); stage 0 input
         # is the space_to_depth'd image at sf[0]
-        xin = rnd(cell_shape(max(s - 1, 0), C_in)) if s else \
-            rnd(cell_shape(0, channels))
+        if s:
+            xin = rnd(cell_shape(s - 1, C_in), s - 1)
+        else:
+            # stage-0 input is the space_to_depth'd image, always NC
+            xin = jnp.asarray(rs.normal(
+                size=cell_shape(0, channels)).astype(np.float32)
+                ).astype(jnp.bfloat16)
         if use_s2d:
+            li = "NC" if s == 0 else lay(s - 1)
             m = StackedConvBlocksS2D(n_enc[s], features[s], kernels[s],
-                                     strides[s], tuple(in_f), tuple(sf[s]))
+                                     strides[s], tuple(in_f), tuple(sf[s]),
+                                     layout=lay(s), layout_in=li)
         else:
             m = StackedConvBlocksCF(n_enc[s], features[s], kernels[s],
                                     strides[s])
@@ -145,18 +165,20 @@ def main():
         f = features[skip]
         stride = tuple(strides[skip + 1])
         src_f, dst_f = sf[skip + 1], sf[skip]
-        xin = rnd(cell_shape(skip + 1, features[skip + 1]))
+        xin = rnd(cell_shape(skip + 1, features[skip + 1]), skip + 1)
         if factored(skip) or any(ff > 1 for ff in src_f):
             up = ConvTransposeS2D(f, stride, stride, tuple(src_f),
-                                  tuple(dst_f))
+                                  tuple(dst_f), layout_in=lay(skip + 1),
+                                  layout_out=lay(skip))
         else:
             up = ConvTransposeCF(f, stride, stride)
         probe(f"up{d}", up, xin)
-        xup = rnd(cell_shape(skip, f))
-        xskip = rnd(cell_shape(skip, f))
+        xup = rnd(cell_shape(skip, f), skip)
+        xskip = rnd(cell_shape(skip, f), skip)
         if factored(skip):
             m = StackedConvBlocksS2D(n_dec[d], f, kernels[skip],
-                                     (1,) * dim, tuple(dst_f), tuple(dst_f))
+                                     (1,) * dim, tuple(dst_f), tuple(dst_f),
+                                     layout=lay(skip), layout_in=lay(skip))
             probe(f"dec{d}", m, (xup, xskip))
         else:
             m = StackedConvBlocksCF(n_dec[d], f, kernels[skip], (1,) * dim)

@@ -57,13 +57,6 @@ class ConvCF(nn.Module):
                        jnp.float32) if self.use_bias else None
         pad = "SAME" if self.padding == "SAME" else \
             [((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size]
-        if dim == 3 and self.use_bias:
-            # 3D convs route through conv3d_cf: the Pallas implicit-GEMM
-            # kernel for eligible stride-1 3³ shapes, XLA otherwise
-            from ..ops.pallas_conv import conv3d_cf
-            return conv3d_cf(x.astype(self.dtype), w.astype(self.dtype),
-                             b.astype(self.dtype), tuple(self.strides),
-                             padding=pad)
         letters = "DHW"[3 - dim:]
         dn = (f"NC{letters}", f"OI{letters}", f"NC{letters}")
         y = jax.lax.conv_general_dilated(
@@ -151,7 +144,7 @@ def _cell_impl() -> str:
     mode = os.environ.get("MVDSEG_CELL_IMPL", "auto")
     if mode == "auto":
         import jax as _jax
-        return "xla" if _jax.default_backend() == "cpu" else "xla"
+        return "xla" if _jax.default_backend() == "cpu" else "pallas"
     return mode
 
 

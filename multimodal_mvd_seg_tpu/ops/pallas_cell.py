@@ -66,17 +66,27 @@ def _pick_tiles(out_lens: Sequence[int], cf_in: int, cf_out: int,
                 n_inputs: int, kc: Sequence[int]) -> Tuple[int, int, int]:
     """Output tile (t1, t2, t3). The minor cell axis t3 carries the
     sublanes; halo windows are read 8-padded so DMA sizes stay aligned.
-    VMEM budget: n_inputs halo tiles (bf16) + f32 acc + bf16 out + weights."""
-    t3 = 32 if out_lens[2] >= 32 else max(8, 1 << int(
-        np.floor(np.log2(max(out_lens[2], 1)))))
+    VMEM budget: n_inputs halo tiles (bf16) + f32 acc + bf16 out + weights.
+    MVDSEG_PALLAS_TILE="t1,t2,t3" overrides (perf sweeps)."""
+    import os
+    env = os.environ.get("MVDSEG_PALLAS_TILE")
+    if env:
+        return tuple(int(v) for v in env.split(","))
+    # measured on the dec4-block1 shape (v5e): (4,8,64)+dbuf = 93 TF/s vs
+    # (4,8,32) 67 / (8,8,64) 76 / (4,16,64) 76 / (4,8,128) 74
+    t3 = 64 if out_lens[2] >= 64 else 32 if out_lens[2] >= 32 else max(
+        8, 1 << int(np.floor(np.log2(max(out_lens[2], 1)))))
     t2 = 8
     t1 = 4
     def vmem(t1, t2, t3):
-        halo = (t1 + kc[0] - 1) * (t2 + kc[1] - 1) * (t3 + 8) * cf_in * 2
+        # 2x halo per input (double-buffered)
+        halo = (t1 + kc[0] - 1) * (t2 + kc[1] - 1) * (t3 + 8) * cf_in * 4
         acc = t1 * t2 * t3 * cf_out * 4
         out = t1 * t2 * t3 * cf_out * 2
         w = int(np.prod(kc)) * cf_in * cf_out * 2 * n_inputs
         return n_inputs * halo + acc + out + w
+    while vmem(t1, t2, t3) > 10 * 1024 * 1024 and t3 > 32:
+        t3 //= 2
     while vmem(t1, t2, t3) > 10 * 1024 * 1024 and t1 > 1:
         t1 //= 2
     return t1, t2, t3
@@ -87,9 +97,9 @@ def _pick_tiles(out_lens: Sequence[int], cf_in: int, cf_out: int,
 # --------------------------------------------------------------------------
 
 def _fwd_kernel(*refs, n_in, kc, tiles, out_lens, rep_out, cf_out,
-                with_stats):
+                with_stats, dbuf):
     # refs: x_0..x_{n-1} (ANY/HBM, halo-padded), w (VMEM, (n_in, T, CFi,
-    # CFo)), o (VMEM block), [s1, s2 (VMEM blocks)], xt_0.., acc, sem
+    # CFo)), o (VMEM block), [stats (VMEM block)], xt_0.., acc, [dkh], sem
     t1, t2, t3 = tiles
     xs = refs[:n_in]
     w_ref = refs[n_in]
@@ -108,21 +118,67 @@ def _fwd_kernel(*refs, n_in, kc, tiles, out_lens, rep_out, cf_out,
     ki = pl.program_id(3)
     h1, h2, h3 = t1 + kc[0] - 1, t2 + kc[1] - 1, t3 + 8
 
-    for i in range(n_in):
-        dma = pltpu.make_async_copy(
-            xs[i].at[b, pl.ds(zi * t1, h1), pl.ds(yi * t2, h2),
-                     pl.ds(ki * t3, h3), :],
-            xts[i], sem)
-        dma.start()
-        dma.wait()
+    if dbuf:
+        # double-buffered halo loads: program p starts program p+1's DMA
+        # before computing, so the load rides under the MXU work. xts[i]
+        # has a leading slot axis (2, h1, h2, h3, cf); sem is (2, n_in).
+        gz, gy, gk = (pl.num_programs(1), pl.num_programs(2),
+                      pl.num_programs(3))
+        total = pl.num_programs(0) * gz * gy * gk
+        ln = ((b * gz + zi) * gy + yi) * gk + ki
+        slot = jax.lax.rem(ln, 2)
+
+        def dma(i, s, bb, zz, yy, kk):
+            return pltpu.make_async_copy(
+                xs[i].at[bb, pl.ds(zz * t1, h1), pl.ds(yy * t2, h2),
+                         pl.ds(kk * t3, h3), :],
+                xts[i].at[s], sem.at[s, i])
+
+        @pl.when(ln == 0)
+        def _():
+            for i in range(n_in):
+                dma(i, 0, b, zi, yi, ki).start()
+
+        ln1 = ln + 1
+        k2 = jax.lax.rem(ln1, gk)
+        r = ln1 // gk
+        y2 = jax.lax.rem(r, gy)
+        r = r // gy
+        z2 = jax.lax.rem(r, gz)
+        b2 = r // gz
+
+        @pl.when(ln1 < total)
+        def _():
+            for i in range(n_in):
+                dma(i, jax.lax.rem(ln1, 2), b2, z2, y2, k2).start()
+
+        for i in range(n_in):
+            dma(i, slot, b, zi, yi, ki).wait()
+
+        def xv(i):
+            return xts[i].at[slot]
+    else:
+        for i in range(n_in):
+            dma = pltpu.make_async_copy(
+                xs[i].at[b, pl.ds(zi * t1, h1), pl.ds(yi * t2, h2),
+                         pl.ds(ki * t3, h3), :],
+                xts[i], sem)
+            dma.start()
+            dma.wait()
+
+        def xv(i):
+            return xts[i]
 
     acc[...] = jnp.zeros_like(acc)
+    # the tap operands slice the halo tile in place (sublane offsets for
+    # dk included): an explicit per-dk hoist into scratch was measured
+    # SLOWER (8.3 vs 6.2 ms) — Mosaic's implicit slice handling wins
     for i in range(n_in):
         for dz in range(kc[0]):
             for dy in range(kc[1]):
                 for dk in range(kc[2]):
                     tap = (dz * kc[1] + dy) * kc[2] + dk
-                    a = xts[i][dz:dz + t1, dy:dy + t2, dk:dk + t3, :]
+                    a = xv(i)[dz:dz + t1, dy:dy + t2, dk:dk + t3, :]
                     acc[...] += jax.lax.dot_general(
                         a, w_ref[i, tap], (((3,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -194,10 +250,12 @@ def _conv_fwd(xs, ws, kc, pads, out_lens, rep_out, with_stats):
         xps.append(jnp.pad(x, padcfg))
     w_stack = jnp.stack(ws).astype(xs[0].dtype)    # (n_in, T, CFi, CFo)
 
+    import os
+    dbuf = os.environ.get("MVDSEG_PALLAS_DBUF", "1") == "1"
     kernel = functools.partial(
         _fwd_kernel, n_in=n_in, kc=tuple(kc), tiles=tiles,
         out_lens=tuple(out_lens), rep_out=tuple(rep_out), cf_out=cf_out,
-        with_stats=with_stats)
+        with_stats=with_stats, dbuf=dbuf)
 
     h1, h2, h3 = t1 + kc[0] - 1, t2 + kc[1] - 1, t3 + 8
     out_shapes = [jax.ShapeDtypeStruct((B, *out_lens, cf_out),
@@ -218,10 +276,12 @@ def _conv_fwd(xs, ws, kc, pads, out_lens, rep_out, with_stats):
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=out_specs if with_stats else out_specs[0],
         out_shape=out_shapes if with_stats else out_shapes[0],
-        scratch_shapes=[pltpu.VMEM((h1, h2, h3, cf_in), xs[0].dtype)
-                        for _ in range(n_in)]
-        + [pltpu.VMEM((t1, t2, t3, cf_out), jnp.float32),
-           pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM(
+            ((2, h1, h2, h3, cf_in) if dbuf else (h1, h2, h3, cf_in)),
+            xs[0].dtype) for _ in range(n_in)]
+        + [pltpu.VMEM((t1, t2, t3, cf_out), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA((2, n_in)) if dbuf
+           else pltpu.SemaphoreType.DMA],
         interpret=INTERPRET,
     )(*xps, w_stack)
     if with_stats:
@@ -234,7 +294,7 @@ def _conv_fwd(xs, ws, kc, pads, out_lens, rep_out, with_stats):
 # weight-gradient kernel: dW[i, tap] = sum_cells x_i[o + tap] dy[o]
 # --------------------------------------------------------------------------
 
-def _wgrad_kernel(*refs, n_in, kc, tiles, cf_in, cf_out):
+def _wgrad_kernel(*refs, n_in, kc, tiles, cf_in, cf_out, dbuf):
     # accumulates straight into the (constant index_map) output block,
     # which stays VMEM-resident across the sequential TPU grid — no
     # separate accumulator (at CF=256 a second copy would blow VMEM)
@@ -254,29 +314,77 @@ def _wgrad_kernel(*refs, n_in, kc, tiles, cf_in, cf_out):
 
     first = (b == 0) & (zi == 0) & (yi == 0) & (ki == 0)
 
-    for i in range(n_in):
-        dma = pltpu.make_async_copy(
-            xs[i].at[b, pl.ds(zi * t1, h1), pl.ds(yi * t2, h2),
-                     pl.ds(ki * t3, h3), :], xts[i], sem)
-        dma.start()
-        dma.wait()
-    dma = pltpu.make_async_copy(
-        dy_ref.at[b, pl.ds(zi * t1, t1), pl.ds(yi * t2, t2),
-                  pl.ds(ki * t3, t3), :], dyt, sem)
-    dma.start()
-    dma.wait()
+    if dbuf:
+        gz, gy, gk = (pl.num_programs(1), pl.num_programs(2),
+                      pl.num_programs(3))
+        total = pl.num_programs(0) * gz * gy * gk
+        ln = ((b * gz + zi) * gy + yi) * gk + ki
+        slot = jax.lax.rem(ln, 2)
+
+        def dma(i, sl, bb, zz, yy, kk):
+            if i < n_in:
+                return pltpu.make_async_copy(
+                    xs[i].at[bb, pl.ds(zz * t1, h1), pl.ds(yy * t2, h2),
+                             pl.ds(kk * t3, h3), :],
+                    xts[i].at[sl], sem.at[sl, i])
+            return pltpu.make_async_copy(
+                dy_ref.at[bb, pl.ds(zz * t1, t1), pl.ds(yy * t2, t2),
+                          pl.ds(kk * t3, t3), :],
+                dyt.at[sl], sem.at[sl, n_in])
+
+        @pl.when(ln == 0)
+        def _():
+            for i in range(n_in + 1):
+                dma(i, 0, b, zi, yi, ki).start()
+
+        ln1 = ln + 1
+        k2 = jax.lax.rem(ln1, gk)
+        r = ln1 // gk
+        y2 = jax.lax.rem(r, gy)
+        r = r // gy
+        z2 = jax.lax.rem(r, gz)
+        b2 = r // gz
+
+        @pl.when(ln1 < total)
+        def _():
+            for i in range(n_in + 1):
+                dma(i, jax.lax.rem(ln1, 2), b2, z2, y2, k2).start()
+
+        for i in range(n_in + 1):
+            dma(i, slot, b, zi, yi, ki).wait()
+
+        def xv(i):
+            return xts[i].at[slot]
+
+        g = dyt[slot].reshape(t1 * t2 * t3, cf_out)
+    else:
+        for i in range(n_in):
+            d = pltpu.make_async_copy(
+                xs[i].at[b, pl.ds(zi * t1, h1), pl.ds(yi * t2, h2),
+                         pl.ds(ki * t3, h3), :], xts[i], sem)
+            d.start()
+            d.wait()
+        d = pltpu.make_async_copy(
+            dy_ref.at[b, pl.ds(zi * t1, t1), pl.ds(yi * t2, t2),
+                      pl.ds(ki * t3, t3), :], dyt, sem)
+        d.start()
+        d.wait()
+
+        def xv(i):
+            return xts[i]
+
+        g = dyt[...].reshape(t1 * t2 * t3, cf_out)
 
     @pl.when(first)
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    g = dyt[...].reshape(t1 * t2 * t3, cf_out)
     for i in range(n_in):
         for dz in range(kc[0]):
             for dy in range(kc[1]):
                 for dk in range(kc[2]):
                     tap = (dz * kc[1] + dy) * kc[2] + dk
-                    a = xts[i][dz:dz + t1, dy:dy + t2, dk:dk + t3, :] \
+                    a = xv(i)[dz:dz + t1, dy:dy + t2, dk:dk + t3, :] \
                         .reshape(t1 * t2 * t3, cf_in)
                     dw_ref[i, tap] += jax.lax.dot_general(
                         a, g, (((0,), (0,)), ((), ())),
@@ -309,9 +417,12 @@ def _conv_wgrad(xs, dy, kc, pads, out_lens):
         (0, g * t - n) for g, t, n in zip(grid[1:], tiles, out_lens)]
         + [(0, 0)])
 
+    import os
+    dbuf = os.environ.get("MVDSEG_PALLAS_DBUF", "1") == "1"
     T = int(np.prod(kc))
     kernel = functools.partial(_wgrad_kernel, n_in=n_in, kc=tuple(kc),
-                               tiles=tiles, cf_in=cf_in, cf_out=cf_out)
+                               tiles=tiles, cf_in=cf_in, cf_out=cf_out,
+                               dbuf=dbuf)
     h1, h2, h3 = t1 + kc[0] - 1, t2 + kc[1] - 1, t3 + 8
     dw = pl.pallas_call(
         kernel,
@@ -322,10 +433,13 @@ def _conv_wgrad(xs, dy, kc, pads, out_lens):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_in, T, cf_in, cf_out),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((h1, h2, h3, cf_in), xs[0].dtype)
-                        for _ in range(n_in)]
-        + [pltpu.VMEM((t1, t2, t3, cf_out), dy.dtype),
-           pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM(
+            ((2, h1, h2, h3, cf_in) if dbuf else (h1, h2, h3, cf_in)),
+            xs[0].dtype) for _ in range(n_in)]
+        + [pltpu.VMEM(((2, t1, t2, t3, cf_out) if dbuf
+                       else (t1, t2, t3, cf_out)), dy.dtype),
+           pltpu.SemaphoreType.DMA((2, n_in + 1)) if dbuf
+           else pltpu.SemaphoreType.DMA],
         interpret=INTERPRET,
     )(*xps, dyp)
     return [dw[i] for i in range(n_in)]

@@ -221,20 +221,6 @@ def test_betti_and_cldice_metrics():
     assert sk.sum() > 0 and sk.sum() < ring.sum()
 
 
-def test_pallas_conv_matches_xla():
-    """The Pallas implicit-GEMM conv (interpret mode) and its custom-vjp
-    backward match XLA's convolution."""
-    from multimodal_mvd_seg_tpu.ops.pallas_conv import (_pallas_conv3_fwd,
-                                                        _xla_conv3_cf)
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(1, 8, 4, 8, 128) * 0.5, jnp.float32)
-    w = jnp.asarray(rng.randn(16, 8, 3, 3, 3) * 0.1, jnp.float32)
-    b = jnp.asarray(rng.randn(16) * 0.1, jnp.float32)
-    ref = _xla_conv3_cf(x, w, b)
-    got = _pallas_conv3_fwd(x, w, b, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
-
-
 def test_topo_wasserstein_downsample_under_jit():
     """The average-pool speed knob must trace (regression: a float() on a
     traced constant broke the paper-scale topo path, where topo_pool > 1)."""
