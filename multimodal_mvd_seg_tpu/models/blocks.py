@@ -381,6 +381,29 @@ def _cell_spec(kernel, strides, rep_in, rep_out, in_lens, pad_mode="SAME"):
                              pad_mode=pad_mode)
 
 
+def pallas_cell_eligible(kernel_size, strides, rep_in, rep_out, parts,
+                         layout_in, layout_out, features,
+                         padding="SAME") -> bool:
+    """Whether this cell conv can run the fused Pallas path
+    (ops/pallas_cell.py): pallas enabled (TPU backend), NL layout both
+    sides, 3D, stride-1 cell grid, 128-lane-aligned channel counts, and
+    a minor cell axis big enough for the 8-padded halo windows."""
+    if _cell_impl() != "pallas":
+        return False
+    if not (layout_in == "NL" and layout_out == "NL"
+            and len(kernel_size) == 3):
+        return False
+    f_out = _s2d.rep_F(rep_out)
+    if any(p.shape[-1] % 128 for p in parts) or (features * f_out) % 128:
+        return False
+    in_lens = tuple(map(int, parts[0].shape[1:-1]))
+    spec = _cell_spec(tuple(map(int, kernel_size)),
+                      tuple(map(int, strides)),
+                      rep_in, rep_out, in_lens, padding)
+    return all(cs == 1 for cs in spec.cell_strides) \
+        and spec.out_lens[2] >= 8
+
+
 class CellConv(nn.Module):
     """Logical conv (params shaped like ConvCF's) executed in the s2d cell
     domain described by (rep_in, rep_out).
@@ -481,24 +504,10 @@ class ConvNormActS2D(nn.Module):
     padding: str = "SAME"
 
     def _pallas_ok(self, parts) -> bool:
-        if _cell_impl() != "pallas":
-            return False
-        if not (self.layout_in == "NL" and self.layout_out == "NL"
-                and len(self.kernel_size) == 3):
-            return False
-        f_in = _s2d.rep_F(self.rep_in)
-        f_out = _s2d.rep_F(self.rep_out)
-        if any(p.shape[-1] % 128 for p in parts) \
-                or (self.features * f_out) % 128:
-            return False
-        in_lens = tuple(map(int, parts[0].shape[1:-1]))
-        spec = _cell_spec(tuple(map(int, self.kernel_size)),
-                          tuple(map(int, self.strides)),
-                          self.rep_in, self.rep_out, in_lens, self.padding)
-        # stride-1 cell grids only; the minor cell axis must be at least a
-        # sublane tile so the kernel's 8-padded halo windows make sense
-        return all(cs == 1 for cs in spec.cell_strides) \
-            and spec.out_lens[2] >= 8
+        return pallas_cell_eligible(
+            self.kernel_size, self.strides, self.rep_in, self.rep_out,
+            parts, self.layout_in, self.layout_out,
+            self.features, self.padding)
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):

@@ -330,11 +330,18 @@ class _InstanceNormActCF(nn.Module):
     layout: str = "NC"  # cell layout when rep is set (ops/s2d.py)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats=None):
         scale = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        if stats is not None:
+            # fused Pallas conv already produced the (B, C*F) moment sums
+            # (and zeroed the artifact rows); apply-only, NL layout
+            s1, s2 = stats
+            return _s2d.apply_norm_act_from_stats(x, s1, s2, self.rep,
+                                                  scale, bias,
+                                                  act=self.act)
         if self.rep is not None:
             return _s2d.masked_instance_norm_act(x, self.rep, scale, bias,
                                                  act=self.act,
@@ -390,16 +397,29 @@ class UnetResBlockCF(nn.Module):
             li = self.s2d_layout_in or lay
             caxis = 1 if li == "NC" else -1
             cin = x.shape[caxis] // F
-            y = CellConv(f, k, s, rep0, rep1, dtype=self.dtype,
-                         layout_in=li, layout_out=lay, name="conv1")(x)
-            y = norm("norm1", y, act=True, rep=rep1, layout=lay)
-            y = CellConv(f, k, s, rep1, rep0, dtype=self.dtype,
-                         layout_in=lay, layout_out=lay, name="conv2")(y)
-            y = norm("norm2", y, act=False, rep=rep0, layout=lay)
+
+            from .blocks import pallas_cell_eligible
+
+            def conv_norm(cname, nname, t, rin, rout, lin, act, kk=k):
+                """CellConv + instance norm, via the fused Pallas path
+                (conv + artifact mask + moment sums in one kernel,
+                apply-only norm) when eligible."""
+                conv = CellConv(f, kk, s, rin, rout, dtype=self.dtype,
+                                layout_in=lin, layout_out=lay, name=cname)
+                if pallas_cell_eligible(kk, s, rin, rout, (t,), lin, lay,
+                                        f):
+                    y, s1, s2 = conv(t, want_stats=True)
+                    return _InstanceNormActCF(f, act=act, rep=rout,
+                                              layout=lay, name=nname)(
+                        y, stats=(s1, s2))
+                y = conv(t)
+                return norm(nname, y, act=act, rep=rout, layout=lay)
+
+            y = conv_norm("conv1", "norm1", x, rep0, rep1, li, True)
+            y = conv_norm("conv2", "norm2", y, rep1, rep0, lay, False)
             if cin != f:
-                x = CellConv(f, (1,) * dim, s, rep0, rep0, dtype=self.dtype,
-                             layout_in=li, layout_out=lay, name="conv3")(x)
-                x = norm("norm3", x, act=False, rep=rep0, layout=lay)
+                x = conv_norm("conv3", "norm3", x, rep0, rep0, li, False,
+                              kk=(1,) * dim)
             elif li != lay:
                 x = jnp.moveaxis(x, -1, 1) if li == "NL" \
                     else jnp.moveaxis(x, 1, -1)

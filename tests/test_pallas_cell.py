@@ -141,6 +141,31 @@ def test_block_bf16_forward_equivalence(monkeypatch):
     assert rel < 2e-2, rel
 
 
+def test_resblock_fused_path_matches_xla(monkeypatch):
+    """UnetResBlockCF (the MVD flagship's full-res stem/decoder block)
+    with the fused Pallas path vs the XLA cell path — forward to bf16
+    rounding, both with and without the 1x1 shortcut conv."""
+    from multimodal_mvd_seg_tpu.models.unetrpp import UnetResBlockCF
+
+    x = jnp.moveaxis(_mk((1, 128, 4, 4, 8), 0.4), 1, -1)
+    for feats in (16, 32):   # 16 = identity shortcut, 32 = conv3 shortcut
+        m = UnetResBlockCF(feats, 3, s2d_factors=(2, 2, 2),
+                           s2d_layout="NL")
+        vs = m.init(jax.random.PRNGKey(feats), x)
+        monkeypatch.setenv("MVDSEG_CELL_IMPL", "xla")
+        ya = np.asarray(m.apply(vs, x), np.float32)
+        monkeypatch.setenv("MVDSEG_CELL_IMPL", "pallas")
+        yb = np.asarray(m.apply(vs, x), np.float32)
+        rel = np.abs(ya - yb).max() / (np.abs(ya).max() + 1e-6)
+        assert rel < 2e-2, (feats, rel)
+        # grads flow and are finite through the fused path
+        g = jax.grad(lambda v, t: jnp.sum(
+            m.apply(v, t).astype(jnp.float32) ** 2))(vs, x)
+        gn = sum(float(jnp.sum(jnp.abs(v)))
+                 for v in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(gn) and gn > 0
+
+
 def test_pallas_dispatch_eligibility(monkeypatch):
     """The pallas path only engages for NL, stride-1, lane-aligned cell
     convs; everything else must silently keep the XLA path (here: NC
