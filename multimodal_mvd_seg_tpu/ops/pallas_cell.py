@@ -224,30 +224,46 @@ def _fwd_kernel(*refs, n_in, kc, tiles, out_lens, rep_out, cf_out,
         s_ref[0, 0:2, :] += part
 
 
-def _conv_fwd(xs, ws, kc, pads, out_lens, rep_out, with_stats):
-    """xs: list of (B, n1, n2, n3, CF_in) NL cell tensors (UNPADDED);
-    ws: list of (T, CF_in, CF_out) tap weights; pads: per-axis (lo, hi).
-    Returns y (B, *out_lens, CF_out) [, s1, s2 (B, grid_prod, CF_out)]."""
-    B = xs[0].shape[0]
-    cf_in = xs[0].shape[-1]
-    cf_out = ws[0].shape[-1]
-    n_in = len(xs)
-    t1, t2, t3 = tiles = _pick_tiles(out_lens, cf_in, cf_out, n_in, kc)
-    grid = (B, _ceil(out_lens[0], t1), _ceil(out_lens[1], t2),
-            _ceil(out_lens[2], t3))
-    # pad each input so every halo window is in-bounds:
-    # axis a needs [o .. o + t + kc - 2] for o in [0, grid*t), relative to
-    # the padded array where logical cell -pads_lo sits at 0.
+def _halo_padded(xs, kc, pads, tiles, grid, in_lens):
+    """Pad each input so every halo window is in-bounds: axis a needs
+    [o .. o + t + kc - 2] for o in [0, grid*t), relative to the padded
+    array where logical cell -pads_lo sits at 0. If an input already HAS
+    the padded shape (the VJP reuses the forward's padded residuals), it
+    passes through untouched."""
     xps = []
     for x in xs:
         padcfg = [(0, 0)]
         for a, (t, g) in enumerate(zip(tiles, grid[1:])):
             need = g * t + kc[a] - 1 + (8 - kc[a] + 1 if a == 2 else 0)
             lo = pads[a][0]
-            hi = max(0, need - lo - x.shape[1 + a])
+            hi = max(0, need - lo - in_lens[a])
             padcfg.append((lo, hi))
         padcfg.append((0, 0))
-        xps.append(jnp.pad(x, padcfg))
+        if tuple(x.shape[1:-1]) == tuple(
+                l + lo + hi for l, (lo, hi) in zip(in_lens, padcfg[1:-1])):
+            xps.append(x)
+        else:
+            xps.append(jnp.pad(x, padcfg))
+    return xps
+
+
+def _conv_fwd(xs, ws, kc, pads, out_lens, rep_out, with_stats,
+              in_lens=None, keep_padded=False):
+    """xs: list of (B, n1, n2, n3, CF_in) NL cell tensors (UNPADDED, or
+    already halo-padded when in_lens gives the logical lens);
+    ws: list of (T, CF_in, CF_out) tap weights; pads: per-axis (lo, hi).
+    Returns y (B, *out_lens, CF_out) [, s1, s2 (B, CF_out)]
+    [, the halo-padded inputs when keep_padded]."""
+    B = xs[0].shape[0]
+    cf_in = xs[0].shape[-1]
+    cf_out = ws[0].shape[-1]
+    n_in = len(xs)
+    if in_lens is None:
+        in_lens = tuple(map(int, xs[0].shape[1:-1]))
+    t1, t2, t3 = tiles = _pick_tiles(out_lens, cf_in, cf_out, n_in, kc)
+    grid = (B, _ceil(out_lens[0], t1), _ceil(out_lens[1], t2),
+            _ceil(out_lens[2], t3))
+    xps = _halo_padded(xs, kc, pads, tiles, grid, in_lens)
     w_stack = jnp.stack(ws).astype(xs[0].dtype)    # (n_in, T, CFi, CFo)
 
     import os
@@ -286,6 +302,8 @@ def _conv_fwd(xs, ws, kc, pads, out_lens, rep_out, with_stats):
     )(*xps, w_stack)
     if with_stats:
         y, stats = res
+        if keep_padded:
+            return y, stats[:, 0], stats[:, 1], xps
         return y, stats[:, 0], stats[:, 1]         # (B, CF_out) each
     return res
 
@@ -391,26 +409,20 @@ def _wgrad_kernel(*refs, n_in, kc, tiles, cf_in, cf_out, dbuf):
                         preferred_element_type=jnp.float32)
 
 
-def _conv_wgrad(xs, dy, kc, pads, out_lens):
-    """dy: (B, *out_lens, CF_out) MASKED cotangent; xs as in _conv_fwd.
+def _conv_wgrad(xs, dy, kc, pads, out_lens, in_lens=None):
+    """dy: (B, *out_lens, CF_out) MASKED cotangent; xs as in _conv_fwd
+    (already halo-padded when in_lens gives the logical lens).
     Returns list of (T, CF_in, CF_out) f32 tap grads."""
     B = xs[0].shape[0]
     cf_in = xs[0].shape[-1]
     cf_out = dy.shape[-1]
     n_in = len(xs)
+    if in_lens is None:
+        in_lens = tuple(map(int, xs[0].shape[1:-1]))
     t1, t2, t3 = tiles = _pick_tiles(out_lens, cf_in, cf_out, n_in, kc)
     grid = (B, _ceil(out_lens[0], t1), _ceil(out_lens[1], t2),
             _ceil(out_lens[2], t3))
-    xps = []
-    for x in xs:
-        padcfg = [(0, 0)]
-        for a, (t, g) in enumerate(zip(tiles, grid[1:])):
-            need = g * t + kc[a] - 1 + (8 - kc[a] + 1 if a == 2 else 0)
-            lo = pads[a][0]
-            hi = max(0, need - lo - x.shape[1 + a])
-            padcfg.append((lo, hi))
-        padcfg.append((0, 0))
-        xps.append(jnp.pad(x, padcfg))
+    xps = _halo_padded(xs, kc, pads, tiles, grid, in_lens)
     # dy padded to the grid (out-of-bounds rows must be ZERO: they are,
     # because dy is already masked and jnp.pad zero-fills)
     dyp = jnp.pad(dy, [(0, 0)] + [
@@ -469,9 +481,12 @@ def cell_conv_stats(xs: Tuple[jnp.ndarray, ...],
 
 
 def _ccs_fwd(xs, ws, kc, pads, out_lens, rep_out, in_lens):
-    y, s1, s2 = _conv_fwd(list(xs), list(ws), kc, pads, out_lens, rep_out,
-                          True)
-    return (y, s1, s2), (xs, ws, y)
+    # keep the halo-PADDED inputs as residuals: wgrad consumes the same
+    # padded geometry, so saving xps instead of xs removes one full
+    # pad pass (read+write of each input) from every backward
+    y, s1, s2, xps = _conv_fwd(list(xs), list(ws), kc, pads, out_lens,
+                               rep_out, True, keep_padded=True)
+    return (y, s1, s2), (tuple(xps), ws, y)
 
 
 def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, res, cts):
@@ -497,7 +512,8 @@ def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, res, cts):
     # only through pads; mask with the input's own validity is WRONG here:
     # fwd consumed those rows, so keep whatever the conv produces).
     dxs = []
-    dws = _conv_wgrad([x for x in xs], dy, kc, pads, out_lens)
+    dws = _conv_wgrad(list(xs), dy, kc, pads, out_lens,
+                      in_lens=tuple(in_lens[0]))
     for i, (x, w) in enumerate(zip(xs, ws)):
         wt = jnp.flip(w, axis=0).transpose(0, 2, 1)   # (T, CFo, CFi)
         dpads = tuple((k - 1 - lo, k - 1 - hi)
