@@ -145,15 +145,16 @@ def main():
         if s:
             xin = rnd(cell_shape(s - 1, C_in), s - 1)
         else:
-            # stage-0 input is the space_to_depth'd image, always NC
-            xin = jnp.asarray(rs.normal(
-                size=cell_shape(0, channels)).astype(np.float32)
-                ).astype(jnp.bfloat16)
+            # stage-0 input is the space_to_depth'd image — NL cells when
+            # the bench layout is NL (unet.py feeds space_to_depth_cl so
+            # the entry conv runs the fused Pallas path), NC otherwise
+            xin = rnd(cell_shape(0, channels), 0)
         if use_s2d:
-            li = "NC" if s == 0 else lay(s - 1)
+            li = lay(0) if s == 0 else lay(s - 1)
             m = StackedConvBlocksS2D(n_enc[s], features[s], kernels[s],
                                      strides[s], tuple(in_f), tuple(sf[s]),
-                                     layout=lay(s), layout_in=li)
+                                     layout=lay(s), layout_in=li,
+                                     input_no_grad=(s == 0))
         else:
             m = StackedConvBlocksCF(n_enc[s], features[s], kernels[s],
                                     strides[s])

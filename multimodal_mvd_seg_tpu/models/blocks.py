@@ -386,15 +386,23 @@ def pallas_cell_eligible(kernel_size, strides, rep_in, rep_out, parts,
                          padding="SAME") -> bool:
     """Whether this cell conv can run the fused Pallas path
     (ops/pallas_cell.py): pallas enabled (TPU backend), NL layout both
-    sides, 3D, stride-1 cell grid, 128-lane-aligned channel counts, and
-    a minor cell axis big enough for the 8-padded halo windows."""
+    sides, 3D, stride-1 cell grid, MXU-compatible channel counts (128-lane
+    multiples, or a small power-of-two CF_in for entry convs from the
+    image — the K=8 contraction wastes MXU rows but those convs are
+    bandwidth-bound, and the fused pass removes their relayout bytes),
+    and a minor cell axis big enough for the 8-padded halo windows."""
     if _cell_impl() != "pallas":
         return False
     if not (layout_in == "NL" and layout_out == "NL"
             and len(kernel_size) == 3):
         return False
+
+    def lanes_ok(n):
+        return n % 128 == 0 or (n in (8, 16, 32, 64))
+
     f_out = _s2d.rep_F(rep_out)
-    if any(p.shape[-1] % 128 for p in parts) or (features * f_out) % 128:
+    if (any(not lanes_ok(p.shape[-1]) for p in parts)
+            or (features * f_out) % 128):
         return False
     in_lens = tuple(map(int, parts[0].shape[1:-1]))
     spec = _cell_spec(tuple(map(int, kernel_size)),
@@ -427,6 +435,9 @@ class CellConv(nn.Module):
     layout_out: str = "NC"
     # strided-conv padding convention: "SAME" or "TORCH" (see ConvCF)
     padding: str = "SAME"
+    # the input needs no cotangent (it is the non-trained image): the
+    # Pallas VJP skips its dgrad conv entirely
+    input_no_grad: bool = False
 
     @nn.compact
     def __call__(self, x, want_stats: bool = False):
@@ -465,14 +476,27 @@ class CellConv(nn.Module):
                 off += ci
                 wc = spec.cell_kernel(wp.astype(self.dtype))
                 # (CoF, CiF, *K) -> (T, CiF, CoF)
-                ws.append(jnp.moveaxis(
-                    wc.reshape(*wc.shape[:2], -1), (0, 1, 2), (2, 1, 0)))
-                xs.append(p.astype(self.dtype))
+                wt = jnp.moveaxis(
+                    wc.reshape(*wc.shape[:2], -1), (0, 1, 2), (2, 1, 0))
+                pt = p.astype(self.dtype)
+                cf = pt.shape[-1]
+                if cf % 128:
+                    # Mosaic DMA slices need 128-aligned lanes: zero-pad
+                    # the lane dim (and the matching weight rows — exact
+                    # numerics; jnp.pad's VJP slices the grads back).
+                    # Worth it only for entry convs whose input is small
+                    # vs their output (pallas_cell_eligible gates this).
+                    pad = 128 - cf % 128
+                    pt = jnp.pad(pt, [(0, 0)] * (pt.ndim - 1) + [(0, pad)])
+                    wt = jnp.pad(wt, [(0, 0), (0, pad), (0, 0)])
+                ws.append(wt)
+                xs.append(pt)
             return _pc.cell_conv_stats(
                 tuple(xs), tuple(ws), tuple(spec.K_cell),
                 tuple(spec.pads), tuple(spec.out_lens),
                 tuple(spec.rep_out),
-                tuple(tuple(map(int, p.shape[1:-1])) for p in xs))
+                tuple(tuple(map(int, p.shape[1:-1])) for p in xs),
+                not self.input_no_grad)
         out = None
         off = 0
         for p, ci in zip(parts, cins):
@@ -502,6 +526,7 @@ class ConvNormActS2D(nn.Module):
     layout_in: str = "NC"
     layout_out: str = "NC"
     padding: str = "SAME"
+    input_no_grad: bool = False
 
     def _pallas_ok(self, parts) -> bool:
         return pallas_cell_eligible(
@@ -516,7 +541,8 @@ class ConvNormActS2D(nn.Module):
                         self.rep_in, self.rep_out, dtype=self.dtype,
                         layout_in=self.layout_in,
                         layout_out=self.layout_out,
-                        padding=self.padding, name="conv")
+                        padding=self.padding,
+                        input_no_grad=self.input_no_grad, name="conv")
         scale = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
@@ -561,6 +587,9 @@ class StackedConvBlocksS2D(nn.Module):
     # strided-conv padding convention ("SAME"/"TORCH", see ConvCF) — only
     # the stage entry conv can be strided, stride-1 convs are identical
     padding: str = "SAME"
+    # first conv's input is the non-trained image: its Pallas VJP skips
+    # the dgrad conv (set by the U-Net on encoder stage 0)
+    input_no_grad: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -586,6 +615,8 @@ class StackedConvBlocksS2D(nn.Module):
                                rep, rep_out, dtype=self.dtype,
                                layout_in=li, layout_out=stage_layout,
                                padding=self.padding,
+                               input_no_grad=(i == 0
+                                              and self.input_no_grad),
                                name=f"block{i}")(x, train=train)
             rep = rep_out
             li = stage_layout

@@ -254,7 +254,10 @@ class PlainConvUNetCF(nn.Module):
             return "NL" if factored(s) and self.s2d_layout == "NL" else "NC"
 
         if factored(0):
-            x = _s2d.space_to_depth(x, sf[0])
+            # NL stage 0 takes channels-last cells directly so the entry
+            # conv runs the fused Pallas path (pallas_cell_eligible)
+            x = _s2d.space_to_depth_cl(x, sf[0]) if lay(0) == "NL" \
+                else _s2d.space_to_depth(x, sf[0])
         skips = []
         for s, (f, n, k, st) in enumerate(zip(self.features_per_stage,
                                               self.n_conv_per_stage_encoder,
@@ -266,10 +269,11 @@ class PlainConvUNetCF(nn.Module):
             cls = nn.remat(base) if s < self.remat_stages else base
             kwargs = dict(dtype=self.dtype, name=f"encoder_stage{s}")
             if use_s2d:
-                li = "NC" if s == 0 else lay(s - 1)
+                li = lay(0) if s == 0 else lay(s - 1)
                 x = cls(n, f, k, st, tuple(in_f), tuple(sf[s]),
                         layout=lay(s), layout_in=li,
                         padding=self.conv_padding,
+                        input_no_grad=(s == 0),
                         **kwargs)(x, train=train)
             else:
                 x = cls(n, f, k, st, padding=self.conv_padding,

@@ -461,26 +461,32 @@ def _conv_wgrad(xs, dy, kc, pads, out_lens, in_lens=None):
 # public op with custom VJP
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def cell_conv_stats(xs: Tuple[jnp.ndarray, ...],
                     ws: Tuple[jnp.ndarray, ...],
                     kc: Tuple[int, ...],
                     pads: Tuple[Tuple[int, int], ...],
                     out_lens: Tuple[int, ...],
                     rep_out: Tuple[Tuple[int, int], ...],
-                    in_lens: Tuple[Tuple[int, ...], ...]):
+                    in_lens: Tuple[Tuple[int, ...], ...],
+                    need_dx: bool = True):
     """Stride-1 NL cell conv over one or more (x, w) contributions summed,
     with the phase artifact rows of the output zeroed and per-(B, lane)
     f32 moments (s1, s2) of the masked output emitted from the same pass.
 
     xs[i]: (B, *in_lens[i], CF_in) bf16; ws[i]: (T, CF_in, CF_out).
     Returns (y, s1, s2): y (B, *out_lens, CF_out) bf16, s (B, CF_out) f32.
+
+    ``need_dx=False`` skips the dgrad conv in the VJP and returns zero
+    input cotangents — for entry convs whose input is the (non-trained)
+    image, where the dx conv would be pure waste (XLA then DCEs the whole
+    zero path).
     """
     return _conv_fwd(list(xs), list(ws), kc, pads, out_lens, rep_out,
                      True)
 
 
-def _ccs_fwd(xs, ws, kc, pads, out_lens, rep_out, in_lens):
+def _ccs_fwd(xs, ws, kc, pads, out_lens, rep_out, in_lens, need_dx):
     # keep the halo-PADDED inputs as residuals: wgrad consumes the same
     # padded geometry, so saving xps instead of xs removes one full
     # pad pass (read+write of each input) from every backward
@@ -489,7 +495,7 @@ def _ccs_fwd(xs, ws, kc, pads, out_lens, rep_out, in_lens):
     return (y, s1, s2), (tuple(xps), ws, y)
 
 
-def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, res, cts):
+def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, need_dx, res, cts):
     xs, ws, y = res
     dy, ds1, ds2 = cts
     # stats cotangents fold elementwise into dy; y's artifact rows are
@@ -511,10 +517,15 @@ def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, res, cts):
     # including artifact rows — their cotangent is legitimately nonzero
     # only through pads; mask with the input's own validity is WRONG here:
     # fwd consumed those rows, so keep whatever the conv produces).
-    dxs = []
     dws = _conv_wgrad(list(xs), dy, kc, pads, out_lens,
                       in_lens=tuple(in_lens[0]))
+    dxs = []
     for i, (x, w) in enumerate(zip(xs, ws)):
+        if not need_dx:
+            # entry conv from the image: the zero cotangent is DCE'd
+            dxs.append(jnp.zeros((x.shape[0], *in_lens[i], x.shape[-1]),
+                                 x.dtype))
+            continue
         wt = jnp.flip(w, axis=0).transpose(0, 2, 1)   # (T, CFo, CFi)
         dpads = tuple((k - 1 - lo, k - 1 - hi)
                       for k, (lo, hi) in zip(kc, pads))

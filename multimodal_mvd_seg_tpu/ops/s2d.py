@@ -282,6 +282,27 @@ def space_to_depth(x: jnp.ndarray, factors: Sequence[int]) -> jnp.ndarray:
     return x.reshape(B, C * F, *[L // f for L, f in zip(sp, factors)])
 
 
+def space_to_depth_cl(x: jnp.ndarray, factors: Sequence[int]) -> jnp.ndarray:
+    """(B, C, *sp) -> (B, *sp/f, C*F) channels-LAST cells, lane = c*F +
+    row-major sub-index — the NL-layout twin of space_to_depth, used so
+    stage-0 entry convs can run the fused Pallas path directly (NL in/out,
+    models/blocks.py::pallas_cell_eligible)."""
+    B, C = x.shape[:2]
+    sp = x.shape[2:]
+    dim = len(sp)
+    shape = [B, C]
+    for L, f in zip(sp, factors):
+        assert L % f == 0, (L, f)
+        shape += [L // f, f]
+    x = x.reshape(shape)
+    # (B, C, n1, f1, n2, f2, ...) -> (B, n1, n2, ..., C, f1, f2, ...)
+    perm = [0] + [2 + 2 * a for a in range(dim)] + [1] \
+        + [2 + 2 * a + 1 for a in range(dim)]
+    x = x.transpose(perm)
+    F = int(np.prod(factors))
+    return x.reshape(B, *[L // f for L, f in zip(sp, factors)], C * F)
+
+
 def depth_to_space(x: jnp.ndarray, factors: Sequence[int]) -> jnp.ndarray:
     B, CF = x.shape[:2]
     cells = x.shape[2:]

@@ -29,15 +29,18 @@ def _mk(shape, scale=0.3, dtype=jnp.bfloat16):
 
 
 CASES = [
-    # (n_in, in_lens, out_lens, kc, pads, rep_out, cf)
+    # (n_in, in_lens, out_lens, kc, pads, rep_out, cf_in, cf_out)
     ("ph0_to_ph1", 1, (8, 8, 16), (9, 9, 16), (2, 2, 3),
-     ((1, 1), (1, 1), (1, 1)), ((2, 1), (2, 1), (1, 0)), 128),
+     ((1, 1), (1, 1), (1, 1)), ((2, 1), (2, 1), (1, 0)), 128, 128),
     ("ph1_to_ph0", 1, (9, 9, 16), (8, 8, 16), (2, 2, 3),
-     ((0, 0), (0, 0), (1, 1)), ((2, 0), (2, 0), (1, 0)), 128),
+     ((0, 0), (0, 0), (1, 1)), ((2, 0), (2, 0), (1, 0)), 128, 128),
     ("split_weight_2in", 2, (8, 8, 16), (9, 9, 16), (2, 2, 3),
-     ((1, 1), (1, 1), (1, 1)), ((2, 1), (2, 1), (1, 0)), 128),
+     ((1, 1), (1, 1), (1, 1)), ((2, 1), (2, 1), (1, 0)), 128, 128),
     ("odd_lens_cf256", 1, (9, 17, 16), (8, 16, 16), (2, 2, 3),
-     ((0, 0), (0, 0), (1, 1)), ((2, 0), (2, 0), (1, 0)), 256),
+     ((0, 0), (0, 0), (1, 1)), ((2, 0), (2, 0), (1, 0)), 256, 256),
+    # stage-0 entry conv from the image: CF_in = C*F = 8 << CF_out
+    ("entry_cf8_to_128", 1, (8, 8, 16), (9, 9, 16), (2, 2, 3),
+     ((1, 1), (1, 1), (1, 1)), ((2, 1), (2, 1), (1, 0)), 8, 128),
 ]
 
 
@@ -46,9 +49,10 @@ def test_kernel_fwd_and_grads_match_reference(case):
     """Forward, fused stats, and the custom VJP (dx per input, dW per
     tap) against the pure-lax reference, with the loss touching y, s1,
     AND s2 so the stats cotangent path is exercised."""
-    _, n_in, in_lens, out_lens, kc, pads, rep_out, cf = case
+    _, n_in, in_lens, out_lens, kc, pads, rep_out, cf, cf_out = case
     xs = tuple(_mk((1, *in_lens, cf)) for _ in range(n_in))
-    ws = tuple(_mk((int(np.prod(kc)), cf, cf), 0.1) for _ in range(n_in))
+    ws = tuple(_mk((int(np.prod(kc)), cf, cf_out), 0.1)
+               for _ in range(n_in))
     args = (kc, pads, out_lens, rep_out,
             tuple(in_lens for _ in range(n_in)))
 
@@ -62,7 +66,7 @@ def test_kernel_fwd_and_grads_match_reference(case):
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r),
                                rtol=1e-3, atol=1e-2)
     # artifact slots of the output are exactly zero
-    msk = np.asarray(pc._out_mask(out_lens, rep_out, cf, jnp.float32))
+    msk = np.asarray(pc._out_mask(out_lens, rep_out, cf_out, jnp.float32))
     assert (np.asarray(y, np.float32)[np.broadcast_to(
         msk == 0, y.shape)] == 0).all()
 
@@ -164,6 +168,31 @@ def test_resblock_fused_path_matches_xla(monkeypatch):
         gn = sum(float(jnp.sum(jnp.abs(v)))
                  for v in jax.tree_util.tree_leaves(g))
         assert np.isfinite(gn) and gn > 0
+
+
+def test_need_dx_false_skips_input_cotangent():
+    """need_dx=False (stage-0 entry conv from the non-trained image):
+    weight grads must match the need_dx=True path exactly; the input
+    cotangent comes back all-zero."""
+    n_in, in_lens, out_lens, kc = 1, (8, 8, 16), (9, 9, 16), (2, 2, 3)
+    pads = ((1, 1), (1, 1), (1, 1))
+    rep_out = ((2, 1), (2, 1), (1, 0))
+    xs = (_mk((1, *in_lens, 8)),)
+    ws = (_mk((int(np.prod(kc)), 8, 128), 0.1),)
+    base = (kc, pads, out_lens, rep_out, (in_lens,))
+
+    def loss(need_dx):
+        def f(xs, ws):
+            y, s1, s2 = pc.cell_conv_stats(xs, ws, *base, need_dx)
+            return jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(s1 * s2)
+        return f
+
+    (dx_t,), (dw_t,) = jax.grad(loss(True), argnums=(0, 1))(xs, ws)
+    (dx_f,), (dw_f,) = jax.grad(loss(False), argnums=(0, 1))(xs, ws)
+    np.testing.assert_array_equal(np.asarray(dw_t, np.float32),
+                                  np.asarray(dw_f, np.float32))
+    assert float(jnp.abs(dx_f.astype(jnp.float32)).max()) == 0.0
+    assert float(jnp.abs(dx_t.astype(jnp.float32)).max()) > 0.0
 
 
 def test_pallas_dispatch_eligibility(monkeypatch):
