@@ -224,19 +224,27 @@ def _fwd_kernel(*refs, n_in, kc, tiles, out_lens, rep_out, cf_out,
         s_ref[0, 0:2, :] += part
 
 
+def _halo_need(kc, tiles, grid):
+    """Physical length each axis must have (from the padded origin) so
+    every halo DMA window of the (tiles, grid) sweep is in bounds."""
+    return tuple(g * t + kc[a] - 1 + (8 - kc[a] + 1 if a == 2 else 0)
+                 for a, (t, g) in enumerate(zip(tiles, grid[1:])))
+
+
 def _halo_padded(xs, kc, pads, tiles, grid, in_lens):
     """Pad each input so every halo window is in-bounds: axis a needs
     [o .. o + t + kc - 2] for o in [0, grid*t), relative to the padded
-    array where logical cell -pads_lo sits at 0. If an input already HAS
-    the padded shape (the VJP reuses the forward's padded residuals), it
-    passes through untouched."""
+    array where logical cell -pads_lo sits at 0. An input already carrying
+    the halo geometry (logical cell 0 at physical pads_lo, length >= need
+    — e.g. the VJP reusing the forward's padded residuals, or the
+    backward's once-padded dy) passes through untouched."""
+    need = _halo_need(kc, tiles, grid)
     xps = []
     for x in xs:
         padcfg = [(0, 0)]
-        for a, (t, g) in enumerate(zip(tiles, grid[1:])):
-            need = g * t + kc[a] - 1 + (8 - kc[a] + 1 if a == 2 else 0)
+        for a in range(len(tiles)):
             lo = pads[a][0]
-            hi = max(0, need - lo - in_lens[a])
+            hi = max(0, need[a] - lo - in_lens[a])
             padcfg.append((lo, hi))
         padcfg.append((0, 0))
         if tuple(x.shape[1:-1]) == tuple(
@@ -248,10 +256,14 @@ def _halo_padded(xs, kc, pads, tiles, grid, in_lens):
 
 
 def _conv_fwd(xs, ws, kc, pads, out_lens, rep_out, with_stats,
-              in_lens=None, keep_padded=False):
+              in_lens=None, keep_padded=False, pre_padded=False):
     """xs: list of (B, n1, n2, n3, CF_in) NL cell tensors (UNPADDED, or
     already halo-padded when in_lens gives the logical lens);
     ws: list of (T, CF_in, CF_out) tap weights; pads: per-axis (lo, hi).
+    ``pre_padded``: the caller guarantees each x already carries the halo
+    geometry (logical cell 0 at physical pads_lo, per-axis length >= the
+    sweep's need) — possibly with MORE tail padding than this call needs
+    (the backward pads dy once for both the dgrad and wgrad sweeps).
     Returns y (B, *out_lens, CF_out) [, s1, s2 (B, CF_out)]
     [, the halo-padded inputs when keep_padded]."""
     B = xs[0].shape[0]
@@ -263,7 +275,13 @@ def _conv_fwd(xs, ws, kc, pads, out_lens, rep_out, with_stats,
     t1, t2, t3 = tiles = _pick_tiles(out_lens, cf_in, cf_out, n_in, kc)
     grid = (B, _ceil(out_lens[0], t1), _ceil(out_lens[1], t2),
             _ceil(out_lens[2], t3))
-    xps = _halo_padded(xs, kc, pads, tiles, grid, in_lens)
+    if pre_padded:
+        need = _halo_need(kc, tiles, grid)
+        assert all(s >= n for s, n in zip(xs[0].shape[1:-1], need)), \
+            (xs[0].shape, need)
+        xps = list(xs)
+    else:
+        xps = _halo_padded(xs, kc, pads, tiles, grid, in_lens)
     w_stack = jnp.stack(ws).astype(xs[0].dtype)    # (n_in, T, CFi, CFo)
 
     import os
@@ -312,7 +330,15 @@ def _conv_fwd(xs, ws, kc, pads, out_lens, rep_out, with_stats,
 # weight-gradient kernel: dW[i, tap] = sum_cells x_i[o + tap] dy[o]
 # --------------------------------------------------------------------------
 
-def _wgrad_kernel(*refs, n_in, kc, tiles, cf_in, cf_out, dbuf):
+def _wgrad_kernel(*refs, n_in, kc, tiles, cf_in, cf_out, dbuf,
+                  dy_off=(0, 0, 0)):
+    # dy_off: physical position of dy's logical cell 0 (the backward's
+    # once-padded dy). Axes 0/1 offset the DMA start directly; the minor
+    # (sublane-tiled) axis 2 must keep aligned DMA starts, so its window
+    # is read 8-extended at kk*t3 and the offset becomes an in-VMEM
+    # sublane slice (dy_off[2] < 8 always: it is kc-1-pads_lo).
+    off3 = dy_off[2]
+    e3 = 8 if off3 else 0
     # accumulates straight into the (constant index_map) output block,
     # which stays VMEM-resident across the sequential TPU grid — no
     # separate accumulator (at CF=256 a second copy would blow VMEM)
@@ -346,8 +372,9 @@ def _wgrad_kernel(*refs, n_in, kc, tiles, cf_in, cf_out, dbuf):
                              pl.ds(kk * t3, h3), :],
                     xts[i].at[sl], sem.at[sl, i])
             return pltpu.make_async_copy(
-                dy_ref.at[bb, pl.ds(zz * t1, t1), pl.ds(yy * t2, t2),
-                          pl.ds(kk * t3, t3), :],
+                dy_ref.at[bb, pl.ds(zz * t1 + dy_off[0], t1),
+                          pl.ds(yy * t2 + dy_off[1], t2),
+                          pl.ds(kk * t3, t3 + e3), :],
                 dyt.at[sl], sem.at[sl, n_in])
 
         @pl.when(ln == 0)
@@ -374,7 +401,8 @@ def _wgrad_kernel(*refs, n_in, kc, tiles, cf_in, cf_out, dbuf):
         def xv(i):
             return xts[i].at[slot]
 
-        g = dyt[slot].reshape(t1 * t2 * t3, cf_out)
+        g = dyt[slot, :, :, off3:off3 + t3, :].reshape(
+            t1 * t2 * t3, cf_out)
     else:
         for i in range(n_in):
             d = pltpu.make_async_copy(
@@ -383,15 +411,16 @@ def _wgrad_kernel(*refs, n_in, kc, tiles, cf_in, cf_out, dbuf):
             d.start()
             d.wait()
         d = pltpu.make_async_copy(
-            dy_ref.at[b, pl.ds(zi * t1, t1), pl.ds(yi * t2, t2),
-                      pl.ds(ki * t3, t3), :], dyt, sem)
+            dy_ref.at[b, pl.ds(zi * t1 + dy_off[0], t1),
+                      pl.ds(yi * t2 + dy_off[1], t2),
+                      pl.ds(ki * t3, t3 + e3), :], dyt, sem)
         d.start()
         d.wait()
 
         def xv(i):
             return xts[i]
 
-        g = dyt[...].reshape(t1 * t2 * t3, cf_out)
+        g = dyt[:, :, off3:off3 + t3, :].reshape(t1 * t2 * t3, cf_out)
 
     @pl.when(first)
     def _():
@@ -409,10 +438,14 @@ def _wgrad_kernel(*refs, n_in, kc, tiles, cf_in, cf_out, dbuf):
                         preferred_element_type=jnp.float32)
 
 
-def _conv_wgrad(xs, dy, kc, pads, out_lens, in_lens=None):
+def _conv_wgrad(xs, dy, kc, pads, out_lens, in_lens=None,
+                dy_off=(0, 0, 0), dy_pre_padded=False):
     """dy: (B, *out_lens, CF_out) MASKED cotangent; xs as in _conv_fwd
     (already halo-padded when in_lens gives the logical lens).
-    Returns list of (T, CF_in, CF_out) f32 tap grads."""
+    ``dy_pre_padded``: dy already carries logical cell 0 at physical
+    ``dy_off`` with zero fill outside [0, out_lens) and enough tail room
+    for the grid sweep — the backward's once-padded dy, shared with the
+    dgrad conv. Returns list of (T, CF_in, CF_out) f32 tap grads."""
     B = xs[0].shape[0]
     cf_in = xs[0].shape[-1]
     cf_out = dy.shape[-1]
@@ -423,18 +456,27 @@ def _conv_wgrad(xs, dy, kc, pads, out_lens, in_lens=None):
     grid = (B, _ceil(out_lens[0], t1), _ceil(out_lens[1], t2),
             _ceil(out_lens[2], t3))
     xps = _halo_padded(xs, kc, pads, tiles, grid, in_lens)
-    # dy padded to the grid (out-of-bounds rows must be ZERO: they are,
-    # because dy is already masked and jnp.pad zero-fills)
-    dyp = jnp.pad(dy, [(0, 0)] + [
-        (0, g * t - n) for g, t, n in zip(grid[1:], tiles, out_lens)]
-        + [(0, 0)])
+    e3 = 8 if dy_off[2] else 0
+    if dy_pre_padded:
+        need_dy = (dy_off[0] + grid[1] * t1, dy_off[1] + grid[2] * t2,
+                   grid[3] * t3 + e3)
+        assert all(s >= n for s, n in zip(dy.shape[1:-1], need_dy)), \
+            (dy.shape, need_dy)
+        dyp = dy
+    else:
+        # dy padded to the grid (out-of-bounds rows must be ZERO: they
+        # are, because dy is already masked and jnp.pad zero-fills)
+        dy_off = (0, 0, 0)
+        dyp = jnp.pad(dy, [(0, 0)] + [
+            (0, g * t - n) for g, t, n in zip(grid[1:], tiles, out_lens)]
+            + [(0, 0)])
 
     import os
     dbuf = os.environ.get("MVDSEG_PALLAS_DBUF", "1") == "1"
     T = int(np.prod(kc))
     kernel = functools.partial(_wgrad_kernel, n_in=n_in, kc=tuple(kc),
                                tiles=tiles, cf_in=cf_in, cf_out=cf_out,
-                               dbuf=dbuf)
+                               dbuf=dbuf, dy_off=tuple(dy_off))
     h1, h2, h3 = t1 + kc[0] - 1, t2 + kc[1] - 1, t3 + 8
     dw = pl.pallas_call(
         kernel,
@@ -448,8 +490,8 @@ def _conv_wgrad(xs, dy, kc, pads, out_lens, in_lens=None):
         scratch_shapes=[pltpu.VMEM(
             ((2, h1, h2, h3, cf_in) if dbuf else (h1, h2, h3, cf_in)),
             xs[0].dtype) for _ in range(n_in)]
-        + [pltpu.VMEM(((2, t1, t2, t3, cf_out) if dbuf
-                       else (t1, t2, t3, cf_out)), dy.dtype),
+        + [pltpu.VMEM(((2, t1, t2, t3 + e3, cf_out) if dbuf
+                       else (t1, t2, t3 + e3, cf_out)), dy.dtype),
            pltpu.SemaphoreType.DMA((2, n_in + 1)) if dbuf
            else pltpu.SemaphoreType.DMA],
         interpret=INTERPRET,
@@ -498,27 +540,53 @@ def _ccs_fwd(xs, ws, kc, pads, out_lens, rep_out, in_lens, need_dx):
 def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, need_dx, res, cts):
     xs, ws, y = res
     dy, ds1, ds2 = cts
+    cf_out = dy.shape[-1]
+    cf_in = xs[0].shape[-1]
+    n_in = len(xs)
     # stats cotangents fold elementwise into dy; y's artifact rows are
     # already zero so the mask is implicit in y, but dy itself must be
     # masked (downstream may carry nonzero cotangent on artifact rows —
     # e.g. through the exit apply's bias term).
-    dy = dy.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
     if ds1 is not None:
-        dy = dy + ds1[:, None, None, None, :]
+        dyf = dyf + ds1[:, None, None, None, :]
     if ds2 is not None:
-        dy = dy + 2.0 * ds2[:, None, None, None, :] * y.astype(jnp.float32)
+        dyf = dyf + 2.0 * ds2[:, None, None, None, :] * y.astype(jnp.float32)
     # re-mask: zero bounds/artifact rows of dy
-    msk = _out_mask(out_lens, rep_out, dy.shape[-1], dy.dtype)
-    dy = (dy * msk).astype(xs[0].dtype)
+    msk = _out_mask(out_lens, rep_out, cf_out, dyf.dtype)
+    dyf = (dyf * msk).astype(xs[0].dtype)
+
+    # pad dy ONCE for both backward sweeps (fold + mask + pad is a single
+    # XLA fusion): the dgrad conv wants halo geometry (logical cell 0 at
+    # physical kc-1-pads_lo), the wgrad sweep reads windows starting at
+    # that same offset — per-axis length = the union of both needs.
+    dpads = tuple((k - 1 - plo, k - 1 - phi)
+                  for k, (plo, phi) in zip(kc, pads))
+    lo = tuple(p[0] for p in dpads) if need_dx else (0,) * len(kc)
+    t_w = _pick_tiles(out_lens, cf_in, cf_out, n_in, kc)
+    # wgrad sweep needs: axes 0/1 read [o*t + lo, +t); the minor axis
+    # keeps aligned starts with an 8-extended window, [o*t3, +t3+8)
+    need = [o + _ceil(n, t) * t for o, n, t in zip(lo, out_lens, t_w)]
+    if lo[2]:
+        need[2] = _ceil(out_lens[2], t_w[2]) * t_w[2] + 8
+    if need_dx:
+        for il in in_lens:
+            t_d = _pick_tiles(tuple(il), cf_out, cf_in, 1, kc)
+            g_d = (1,) + tuple(_ceil(n, t) for n, t in zip(il, t_d))
+            nd = _halo_need(kc, t_d, g_d)
+            need = [max(n, m) for n, m in zip(need, nd)]
+    dyp = jnp.pad(dyf, [(0, 0)] + [
+        (l, n - l - s) for l, n, s in zip(lo, need, out_lens)] + [(0, 0)])
 
     # dx_i: conv of dy with tap-reversed, io-transposed weights; pads
-    # flip to (kc-1-lo, kc-1-hi); output lens = in_lens[i]; phases of the
-    # INPUT rep... dx must not be masked (the fwd reads all input rows,
-    # including artifact rows — their cotangent is legitimately nonzero
-    # only through pads; mask with the input's own validity is WRONG here:
+    # flip to dpads; output lens = in_lens[i]; phases of the INPUT rep...
+    # dx must not be masked (the fwd reads all input rows, including
+    # artifact rows — their cotangent is legitimately nonzero only
+    # through pads; mask with the input's own validity is WRONG here:
     # fwd consumed those rows, so keep whatever the conv produces).
-    dws = _conv_wgrad(list(xs), dy, kc, pads, out_lens,
-                      in_lens=tuple(in_lens[0]))
+    dws = _conv_wgrad(list(xs), dyp, kc, pads, out_lens,
+                      in_lens=tuple(in_lens[0]), dy_off=lo,
+                      dy_pre_padded=True)
     dxs = []
     for i, (x, w) in enumerate(zip(xs, ws)):
         if not need_dx:
@@ -527,10 +595,9 @@ def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, need_dx, res, cts):
                                  x.dtype))
             continue
         wt = jnp.flip(w, axis=0).transpose(0, 2, 1)   # (T, CFo, CFi)
-        dpads = tuple((k - 1 - lo, k - 1 - hi)
-                      for k, (lo, hi) in zip(kc, pads))
-        dx = _conv_fwd([dy], [wt], kc, dpads, tuple(in_lens[i]),
-                       ((1, 0),) * len(kc), False)
+        dx = _conv_fwd([dyp], [wt], kc, dpads, tuple(in_lens[i]),
+                       ((1, 0),) * len(kc), False, in_lens=out_lens,
+                       pre_padded=True)
         dxs.append(dx.astype(x.dtype))
     return tuple(dxs), tuple(dw.astype(w.dtype)
                              for dw, w in zip(dws, ws))
