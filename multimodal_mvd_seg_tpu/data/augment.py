@@ -307,8 +307,9 @@ def _gaussian_blur_one(key, data, cfg: AugmentConfig, suppress=None):
 
 
 def _median_one(key, data, cfg: AugmentConfig, choose_median, gated: bool):
-    """MedianFilterTransform half of the DA5 OneOf: per-channel separable
-    median with size ~ randint(*cfg.median_size)."""
+    """MedianFilterTransform half of the DA5 OneOf: per-channel EXACT
+    dense median with size ~ randint(*cfg.median_size) (scipy-parity
+    pinned in tests/test_augment.py)."""
     C = data.shape[0]
     dim = data.ndim - 1
     km = jax.random.fold_in(key, 78)
@@ -686,37 +687,42 @@ def _transpose_one(key, data, seg, cfg: AugmentConfig, gated: bool):
     return jnp.where(do, d2, data), jnp.where(do, s2, seg)
 
 
-def _median_axis(x, size: int, axis: int):
-    """1D rank filter along `axis`, rank size//2 of a size-wide window —
-    scipy.ndimage.median_filter's per-axis semantics (window offsets
-    -((size-1)//2)..size//2, 'reflect' boundary = jnp 'symmetric')."""
-    left = (size - 1) // 2
-    right = size // 2
-    moved = jnp.moveaxis(x, axis, -1)
-    pw = [(0, 0)] * (moved.ndim - 1) + [(left, right)]
-    xp = jnp.pad(moved, pw, mode="symmetric")
-    n = moved.shape[-1]
-    win = jnp.stack([jax.lax.slice_in_dim(xp, i, i + n, axis=-1)
-                     for i in range(size)], 0)
-    med = jnp.sort(win, axis=0)[size // 2]
-    return jnp.moveaxis(med, -1, axis)
+def _median_dense(vol, k: int):
+    """EXACT dense k^dim median filter (scipy.ndimage.median_filter
+    semantics, the kernel batchgenerators' MedianFilterTransform applies:
+    rank n//2 of the sorted window, 'reflect' boundary = jnp.pad
+    'symmetric', even sizes extend k//2 left / k-1-k//2 right). The k^3
+    tap stack would need ~343x the volume in flight at k=7, so 3D volumes
+    are processed as a lax.map over z-slices (one (Y, X, k^3) sort per
+    slice — DA5 draws k in [2, 8), well within VMEM)."""
+    dim = vol.ndim
+    lo = k // 2
+    hi = k - 1 - lo
+    vp = jnp.pad(vol, [(lo, hi)] * dim, mode="symmetric")
+    rank = (k ** dim) // 2
+
+    def med_patches(x):
+        # (1, 1, *sp) -> (1, k^dim, *out_sp): one patch-extraction op
+        # (343 explicit tap slices segfault XLA CPU on larger programs)
+        p = jax.lax.conv_general_dilated_patches(
+            x[None, None], (k,) * dim, (1,) * dim, "VALID")
+        return jnp.sort(p[0], axis=0)[rank]
+
+    if dim == 3:
+        # z-slab map bounds the k^3-tap stack to one slice's worth
+        def one_z(z):
+            slab = jax.lax.dynamic_slice_in_dim(vp, z, k, 0)
+            return med_patches(slab)[0]
+
+        return jax.lax.map(one_z, jnp.arange(vol.shape[0]))
+    return med_patches(vp)
 
 
 def _median_channel(vol, size_idx, cfg: AugmentConfig):
-    """Separable (axis-by-axis) median — a documented approximation of the
-    true dense median filter: the k^dim-window sort would need ~512x the
-    volume in flight at k=7; the separable form is the standard streaming
-    approximation and matches the dense filter on locally monotone data."""
     lo, hi = cfg.median_size
-
-    def for_size(k):
-        def f(v):
-            for ax in range(v.ndim):
-                v = _median_axis(v, k, ax)
-            return v
-        return f
-
-    return jax.lax.switch(size_idx, [for_size(k) for k in range(lo, hi)], vol)
+    return jax.lax.switch(size_idx,
+                          [lambda v, k=k: _median_dense(v, k)
+                           for k in range(lo, hi)], vol)
 
 
 def _gauss_field(key, shape):

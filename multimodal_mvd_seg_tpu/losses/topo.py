@@ -31,13 +31,26 @@ from ..ops.persistence import cubical_persistence_pairs
 from ..ops.wasserstein import wasserstein_distance
 
 
-def _maybe_pool(x: jnp.ndarray, factor: Optional[Sequence[int]]):
-    """Average-pool a (d1..dk) map by an integer factor per axis — the
-    documented speed knob for per-step training use (the reference pays the
-    full gudhi cost on CPU; SURVEY.md §7 'hard parts')."""
+def _maybe_pool(x: jnp.ndarray, factor: Optional[Sequence[int]],
+                mode: str = "avg"):
+    """Pool a (d1..dk) map by an integer factor per axis — the documented
+    speed knob for per-step training use (the reference pays the full
+    gudhi cost on CPU at full resolution; SURVEY.md §7 'hard parts').
+
+    ``mode``: "avg" or "max". Average pooling dilutes a 1-voxel
+    false-positive component to 1/prod(factor) of its amplitude — a
+    near-zero persistence bar the Wasserstein matching prunes as noise —
+    so the topological term is blind to exactly the specks the Betti
+    error counts. Max pooling keeps such a component at full amplitude
+    (and is the topology-preserving downsampling for bright thin
+    structures on a dark background), and its gradient routes to the
+    speck's own argmax voxel."""
     if factor is None or all(f == 1 for f in factor):
         return x
     window = tuple(int(f) for f in factor)
+    if mode == "max":
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, window, window, "VALID")
     denom = 1
     for f in window:
         denom *= f
@@ -164,8 +177,8 @@ def dummy_topo_match(batch: int, cap: int):
 def topo_wasserstein(pred: jnp.ndarray, target: jnp.ndarray,
                      topo_dim: Optional[int] = 2, q: float = 2.0,
                      cap: int = 512,
-                     downsample: Optional[Sequence[int]] = None
-                     ) -> jnp.ndarray:
+                     downsample: Optional[Sequence[int]] = None,
+                     pool_mode: str = "avg") -> jnp.ndarray:
     """Per-sample cubical-Wasserstein topo loss, mean over batch.
 
     pred/target: (B, *spatial) probability maps / one-hot masks.
@@ -175,8 +188,8 @@ def topo_wasserstein(pred: jnp.ndarray, target: jnp.ndarray,
     maxdim = pred.ndim - 2
 
     def one(p, t):
-        p = _maybe_pool(p, downsample)
-        t = _maybe_pool(t, downsample)
+        p = _maybe_pool(p, downsample, pool_mode)
+        t = _maybe_pool(t, downsample, pool_mode)
         # only_dim keeps the cap for the compared dimension's strongest
         # bars (dim-0/1 bars otherwise starve a small cap on real maps)
         dp = cubical_persistence_pairs(p, maxdim=maxdim, cap=cap,

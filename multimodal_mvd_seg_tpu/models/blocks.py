@@ -381,6 +381,30 @@ def _cell_spec(kernel, strides, rep_in, rep_out, in_lens, pad_mode="SAME"):
                              pad_mode=pad_mode)
 
 
+def pallas_cell_eligible_static(kernel_size, strides, rep_in, rep_out,
+                                in_lens, cf_in, features,
+                                padding="SAME") -> bool:
+    """Shape-only variant of pallas_cell_eligible (no live arrays) — used
+    by StackedConvBlocksS2D to plan conv-pair fusion before any tensor
+    exists."""
+    if _cell_impl() != "pallas":
+        return False
+    if len(kernel_size) != 3:
+        return False
+
+    def lanes_ok(n):
+        return n % 128 == 0 or (n in (8, 16, 32, 64))
+
+    f_out = _s2d.rep_F(rep_out)
+    if not lanes_ok(cf_in) or (features * f_out) % 128:
+        return False
+    spec = _cell_spec(tuple(map(int, kernel_size)),
+                      tuple(map(int, strides)),
+                      rep_in, rep_out, tuple(map(int, in_lens)), padding)
+    return all(cs == 1 for cs in spec.cell_strides) \
+        and spec.out_lens[2] >= 8
+
+
 def pallas_cell_eligible(kernel_size, strides, rep_in, rep_out, parts,
                          layout_in, layout_out, features,
                          padding="SAME") -> bool:
@@ -440,7 +464,8 @@ class CellConv(nn.Module):
     input_no_grad: bool = False
 
     @nn.compact
-    def __call__(self, x, want_stats: bool = False):
+    def __call__(self, x, want_stats: bool = False, chained: dict = None,
+                 out_pads=None):
         parts = x if isinstance(x, (tuple, list)) else (x,)
         dim = len(self.kernel_size)
         f_in = _s2d.rep_F(self.rep_in)
@@ -452,12 +477,31 @@ class CellConv(nn.Module):
             2.0, "fan_in", "truncated_normal"), kshape, jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32) if self.use_bias else None
-        in_lens = parts[0].shape[2:] if self.layout_in == "NC" \
-            else parts[0].shape[1:-1]
+        if chained is not None:
+            # normalize-on-load (ops/pallas_cell.cell_conv_norm_stats):
+            # x is the RAW pre-padded previous conv output, logical lens
+            # from the chain info (the physical shape carries padding)
+            in_lens = tuple(chained["in_lens"])
+        else:
+            in_lens = parts[0].shape[2:] if self.layout_in == "NC" \
+                else tuple(parts[0].shape[1:-1])
         spec = _cell_spec(tuple(map(int, self.kernel_size)),
                           tuple(map(int, self.strides)),
                           self.rep_in, self.rep_out, tuple(in_lens),
                           self.padding)
+        if chained is not None:
+            from ..ops import pallas_cell as _pc
+            assert want_stats and len(parts) == 1
+            wc = spec.cell_kernel(w.astype(self.dtype))
+            wt = jnp.moveaxis(
+                wc.reshape(*wc.shape[:2], -1), (0, 1, 2), (2, 1, 0))
+            return _pc.cell_conv_norm_stats(
+                parts[0].astype(self.dtype), chained["ab"], wt,
+                tuple(spec.K_cell), tuple(spec.pads),
+                tuple(spec.out_lens), tuple(spec.rep_out),
+                tuple(chained["in_lens"]), tuple(chained["rep_in"]),
+                tuple(chained["x_off"]), chained.get("slope", 0.01),
+                out_pads)
         if want_stats:
             # fused Pallas path (ops/pallas_cell.py): conv + artifact mask
             # + per-lane instance-norm moment sums in one pass. The conv
@@ -496,7 +540,7 @@ class CellConv(nn.Module):
                 tuple(spec.pads), tuple(spec.out_lens),
                 tuple(spec.rep_out),
                 tuple(tuple(map(int, p.shape[1:-1])) for p in xs),
-                not self.input_no_grad)
+                not self.input_no_grad, out_pads)
         out = None
         off = 0
         for p, ci in zip(parts, cins):
@@ -535,7 +579,15 @@ class ConvNormActS2D(nn.Module):
             self.features, self.padding)
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True):
+    def __call__(self, x, *, train: bool = True, raw_in: dict = None,
+                 out_geom=None):
+        """``raw_in``: x is the previous conv's RAW pre-padded output and
+        this conv normalizes it on load (dict ab/in_lens/rep_in/x_off/
+        slope — ops/pallas_cell.cell_conv_norm_stats).
+        ``out_geom`` = (o_off, phys): defer this block's norm apply —
+        write the raw conv output pre-padded for the NEXT conv and return
+        (y_raw, ab) with the per-lane apply coefficients instead of the
+        activated tensor."""
         parts = x if isinstance(x, (tuple, list)) else (x,)
         conv = CellConv(self.features, self.kernel_size, self.strides,
                         self.rep_in, self.rep_out, dtype=self.dtype,
@@ -549,8 +601,20 @@ class ConvNormActS2D(nn.Module):
                           jnp.float32)
         rep = self.rep_out
         lo = self.layout_out
-        if self._pallas_ok(parts):
-            y_raw, s1, s2 = conv(x, want_stats=True)
+        if raw_in is not None or out_geom is not None \
+                or self._pallas_ok(parts):
+            if raw_in is not None:
+                y_raw, s1, s2 = conv(parts[0], want_stats=True,
+                                     chained=raw_in, out_pads=out_geom)
+            else:
+                y_raw, s1, s2 = conv(x, want_stats=True,
+                                     out_pads=out_geom)
+            if out_geom is not None:
+                # logical out lens for the stats normalization count
+                cells = self._out_cells(parts, raw_in)
+                a, b = _s2d.norm_coefs_from_stats(s1, s2, rep, scale,
+                                                  bias, cells)
+                return y_raw, jnp.stack([a, b], axis=1)
             return _s2d.apply_norm_act_from_stats(y_raw, s1, s2, rep,
                                                   scale, bias,
                                                   act=self.act)
@@ -562,6 +626,15 @@ class ConvNormActS2D(nn.Module):
             lambda t, s, b: _s2d.masked_instance_norm_act(
                 t, rep, s, b, act=self.act, layout=lo))
         return norm(x, scale, bias)
+
+    def _out_cells(self, parts, raw_in):
+        in_lens = tuple(raw_in["in_lens"]) if raw_in is not None else \
+            tuple(map(int, parts[0].shape[1:-1]))
+        spec = _cell_spec(tuple(map(int, self.kernel_size)),
+                          tuple(map(int, self.strides)),
+                          self.rep_in, self.rep_out, in_lens,
+                          self.padding)
+        return tuple(spec.out_lens)
 
 
 class StackedConvBlocksS2D(nn.Module):
@@ -602,23 +675,99 @@ class StackedConvBlocksS2D(nn.Module):
             assert self.n_convs % 2 == 0, \
                 "s2d stages need an even conv count"
         stage_layout = self.layout if factored else "NC"
+
+        # static walk: per-conv geometry, then mark conv pairs (i, i+1)
+        # where i's norm+act can fuse into i+1's tile loads (both on the
+        # Pallas NL path, conv i single-output chainable) — the producer
+        # then writes its raw output pre-padded for the consumer and the
+        # activated tensor never exists in HBM (ops/pallas_cell.py).
+        reps, strides_l, specs, in_lens_l = [], [], [], []
         rep = in_rep
-        li = self.layout_in
+        parts0 = x if isinstance(x, (tuple, list)) else (x,)
+        cur_lens = tuple(map(int, parts0[0].shape[1:-1])) \
+            if stage_layout == "NL" and self.layout_in == "NL" else None
         for i in range(self.n_convs):
             stride = self.first_stride if i == 0 else (1,) * dim
             if factored and not zero_phase:
                 rep_out = _s2d.phase_up(stage_rep) if i % 2 == 0 \
                     else stage_rep
             else:
-                rep_out = stage_rep  # normal domain (exit conv when i == 0)
-            x = ConvNormActS2D(self.features, self.kernel_size, stride,
-                               rep, rep_out, dtype=self.dtype,
-                               layout_in=li, layout_out=stage_layout,
-                               padding=self.padding,
-                               input_no_grad=(i == 0
-                                              and self.input_no_grad),
-                               name=f"block{i}")(x, train=train)
+                rep_out = stage_rep  # normal domain (exit conv when i==0)
+            spec = None
+            in_lens_l.append(cur_lens)
+            if cur_lens is not None:
+                spec = _cell_spec(tuple(map(int, self.kernel_size)),
+                                  tuple(map(int, stride)), rep, rep_out,
+                                  cur_lens, self.padding)
+                cur_lens = tuple(spec.out_lens)
+            reps.append((rep, rep_out))
+            strides_l.append(tuple(map(int, stride)))
+            specs.append(spec)
             rep = rep_out
+
+        def cf_of(r):
+            return self.features * _s2d.rep_F(r)
+
+        import os
+        fuse_on = os.environ.get("MVDSEG_CELL_FUSE_PAIRS", "1") == "1"
+        fuse_into_next = [False] * self.n_convs
+        for i in range(self.n_convs - 1):
+            if not fuse_on:
+                break
+            if i > 0 and fuse_into_next[i - 1]:
+                continue   # disjoint pairs: a consumer never defers too
+            si, sn = specs[i], specs[i + 1]
+            if si is None or sn is None:
+                continue
+            ok_i = pallas_cell_eligible_static(
+                self.kernel_size, strides_l[i], *reps[i],
+                in_lens_l[i], cf_of(reps[i][0]), self.features,
+                self.padding)
+            ok_n = pallas_cell_eligible_static(
+                self.kernel_size, strides_l[i + 1], *reps[i + 1],
+                in_lens_l[i + 1], cf_of(reps[i + 1][0]),
+                self.features, self.padding)
+            fuse_into_next[i] = ok_i and ok_n
+
+        from ..ops import pallas_cell as _pc
+        carry = None   # (y_raw, ab) + geometry of a deferred norm apply
+        li = self.layout_in
+        for i in range(self.n_convs):
+            rep, rep_out = reps[i]
+            blk = ConvNormActS2D(self.features, self.kernel_size,
+                                 strides_l[i], rep, rep_out,
+                                 dtype=self.dtype,
+                                 layout_in=li, layout_out=stage_layout,
+                                 padding=self.padding,
+                                 input_no_grad=(i == 0
+                                                and self.input_no_grad),
+                                 name=f"block{i}")
+            out_geom = None
+            if fuse_into_next[i]:
+                sn = specs[i + 1]
+                lo_c, need_c = _pc.consumer_pad_geometry(
+                    tuple(sn.K_cell), tuple(sn.pads), tuple(sn.out_lens),
+                    cf_of(reps[i + 1][0]), cf_of(reps[i + 1][1]), 1)
+                out_geom = _pc.padded_out_geometry(
+                    tuple(sn.K_cell), in_lens_l[i + 1], lo_c, need_c,
+                    cf_of(reps[i + 1][1]), cf_of(reps[i + 1][0]))
+            if carry is not None:
+                y_raw, ab, chain_info = carry
+                out = blk(y_raw, train=train,
+                          raw_in=dict(ab=ab, **chain_info),
+                          out_geom=out_geom)
+            else:
+                out = blk(x, train=train, out_geom=out_geom)
+            if out_geom is not None:
+                y_raw, ab = out
+                carry = (y_raw, ab, dict(
+                    in_lens=tuple(specs[i].out_lens),
+                    rep_in=tuple(reps[i][1]),
+                    x_off=tuple(out_geom[0]),
+                    slope=0.01))
+            else:
+                x = out
+                carry = None
             li = stage_layout
         return x
 

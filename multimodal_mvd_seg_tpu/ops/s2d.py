@@ -450,6 +450,34 @@ def masked_instance_norm_act(x: jnp.ndarray, rep: Rep, scale, bias,
     return y.reshape(out_shape).astype(x.dtype)
 
 
+def norm_coefs_from_stats(s1, s2, rep: Rep, scale, bias, cells):
+    """Per-LANE instance-norm apply coefficients from the fused kernel's
+    moment sums: y_norm = a*y + b with (a, b) each (B, C*F) f32 — the
+    tiny differentiable statistics graph shared by the jnp apply
+    (apply_norm_act_from_stats) and the normalize-on-load kernels
+    (ops/pallas_cell.py::cell_conv_norm_stats)."""
+    B, CF = s1.shape
+    F = rep_F(rep)
+    C = CF // F
+    if any(f > 1 and p for f, p in rep):
+        _, n_real = artifact_mask(rep, cells)
+    else:
+        n_real = float(np.prod(cells)) * F
+    S1 = s1.reshape(B, C, F).sum(-1)
+    S2 = s2.reshape(B, C, F).sum(-1)
+    mean = S1 / n_real
+    var = S2 / n_real - jnp.square(mean)
+    a = jax.lax.rsqrt(var + 1e-5)
+    b = -mean * a
+    if scale is not None:
+        s = scale.astype(jnp.float32)[None, :]
+        a, b = a * s, b * s
+    if bias is not None:
+        b = b + bias.astype(jnp.float32)[None, :]
+    # lane = c*F + f
+    return jnp.repeat(a, F, axis=1), jnp.repeat(b, F, axis=1)
+
+
 def apply_norm_act_from_stats(y_raw: jnp.ndarray, s1: jnp.ndarray,
                               s2: jnp.ndarray, rep: Rep, scale, bias,
                               act: bool = True) -> jnp.ndarray:
@@ -474,20 +502,9 @@ def apply_norm_act_from_stats(y_raw: jnp.ndarray, s1: jnp.ndarray,
         msk = jnp.moveaxis(msk, 0, -1)[None, ..., None, :]  # NL broadcast
     else:
         n_real = float(np.prod(cells)) * F
-    S1 = s1.reshape(B, C, F).sum(-1)
-    S2 = s2.reshape(B, C, F).sum(-1)
-    mean = S1 / n_real
-    var = S2 / n_real - jnp.square(mean)
-    a = jax.lax.rsqrt(var + 1e-5)
-    b = -mean * a
-    if scale is not None:
-        s = scale.astype(jnp.float32)[None, :]
-        a, b = a * s, b * s
-    if bias is not None:
-        b = b + bias.astype(jnp.float32)[None, :]
-    # per-lane coefficients (lane = c*F + f), broadcast over cells
-    A = jnp.repeat(a, F, axis=1).reshape(B, *(1,) * len(cells), CF)
-    Bc = jnp.repeat(b, F, axis=1).reshape(B, *(1,) * len(cells), CF)
+    a, b = norm_coefs_from_stats(s1, s2, rep, scale, bias, cells)
+    A = a.reshape(B, *(1,) * len(cells), CF)
+    Bc = b.reshape(B, *(1,) * len(cells), CF)
     y = y_raw * A.astype(y_raw.dtype) + Bc.astype(y_raw.dtype)
     if act:
         y = jax.nn.leaky_relu(y, negative_slope=0.01)

@@ -43,6 +43,7 @@ Known reference bugs NOT copied (SURVEY.md §0): undefined logits1/logits2
 self.topo_loss (:100/920 — ours exists), and branch-2 decoder wiring.
 """
 
+import os
 from typing import Optional
 
 import flax
@@ -117,9 +118,17 @@ class ContrastiveTrainer(MVDSegTrainer):
         self.memory_candidates_per_class = 256
         self.contrastive_rows_per_class = 256
         self.contra_classes_branch2 = 2
-        # average-pool factors applied to the vessel maps before cubical
+        # pool factors applied to the vessel maps before cubical
         # persistence; None disables the topo term entirely
         self.topo_pool: Optional[tuple] = None  # set in initialize()
+        # "max" (default) keeps 1-voxel false-positive components at full
+        # amplitude in the pooled map, so the Wasserstein term sees (and
+        # suppresses) exactly the specks the Betti-error metric counts;
+        # "avg" dilutes them to 1/prod(topo_pool) — measured on the parity
+        # protocol (documentation/dice_parity.md, round-4 A/B).
+        # Override: MVDSEG_TOPO_POOL_MODE.
+        self.topo_pool_mode = os.environ.get("MVDSEG_TOPO_POOL_MODE",
+                                             "max")
         self.enable_topo_loss = True
         self.topo_cap = 256
         # "auto" resolves at initialize(): "callback" (persistence through
@@ -336,7 +345,8 @@ class ContrastiveTrainer(MVDSegTrainer):
             return jnp.exp(logp[:, vessel]).reshape(logits.shape[:-1])
 
         def pool_batch(x):
-            return jax.vmap(lambda a: _maybe_pool(a, self.topo_pool))(x)
+            return jax.vmap(lambda a: _maybe_pool(
+                a, self.topo_pool, self.topo_pool_mode))(x)
 
         def train_step(state: MVDTrainState, key, epoch, data, seg,
                        topo_match):
@@ -370,7 +380,8 @@ class ContrastiveTrainer(MVDSegTrainer):
                     topo = topo_wasserstein(
                         p1v, tgt_vessel, topo_dim=self.topo_feat_d,
                         q=self.topo_q, cap=self.topo_cap,
-                        downsample=self.topo_pool)
+                        downsample=self.topo_pool,
+                        pool_mode=self.topo_pool_mode)
                 elif self.topo_mode == "two_phase":
                     topo = topo_loss_from_match(pool_batch(p1v), topo_match,
                                                 q=self.topo_q)

@@ -248,3 +248,24 @@ def test_da5_median_blur_oneof_exclusive():
         fired_median += m
         fired_blur += b
     assert fired_median > 0 and fired_blur > 0
+
+
+def test_da5_dense_median_matches_scipy_exactly():
+    """The DA5 median is the EXACT dense k^dim filter — bitwise equal to
+    scipy.ndimage.median_filter (the kernel batchgenerators'
+    MedianFilterTransform applies) for every size DA5 draws, including
+    even sizes and boundary voxels (closes the round-3 deviation note)."""
+    from scipy.ndimage import median_filter
+    from multimodal_mvd_seg_tpu.data.augment import _median_dense
+
+    rs = np.random.RandomState(3)
+    v = rs.normal(size=(10, 11, 12)).astype(np.float32)
+    for k in range(2, 8):
+        ours = np.asarray(_median_dense(jnp.asarray(v), k))
+        ref = median_filter(v, size=k, mode="reflect")
+        np.testing.assert_array_equal(ours, ref)
+    v2 = rs.normal(size=(9, 13)).astype(np.float32)
+    for k in (2, 5):
+        np.testing.assert_array_equal(
+            np.asarray(_median_dense(jnp.asarray(v2), k)),
+            median_filter(v2, size=k, mode="reflect"))

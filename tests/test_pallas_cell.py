@@ -209,3 +209,112 @@ def test_pallas_dispatch_eligibility(monkeypatch):
     vs = m.init(jax.random.PRNGKey(0), x)
     y = m.apply(vs, x)  # must not raise
     assert y.shape == (1, 128, 9, 9, 16)
+
+
+def test_padded_output_matches_reference():
+    """out_pads: the op writes its output pre-padded (logical region at
+    o_off, zero border) — forward, stats and grads vs the reference with
+    an explicit pad."""
+    n_in, in_lens, out_lens, kc = 1, (8, 8, 16), (9, 9, 16), (2, 2, 3)
+    pads = ((1, 1), (1, 1), (1, 1))
+    rep_out = ((2, 1), (2, 1), (1, 0))
+    cf = 128
+    xs = (_mk((1, *in_lens, cf)),)
+    ws = (_mk((int(np.prod(kc)), cf, cf), 0.1),)
+    # consumer geometry of the follow-up phase-down conv
+    kc2, pads2 = (2, 2, 3), ((0, 0), (0, 0), (1, 1))
+    lo_c, need_c = pc.consumer_pad_geometry(kc2, pads2, (8, 8, 16),
+                                            cf, cf, 1)
+    out_pads = pc.padded_out_geometry(kc2, out_lens, lo_c, need_c, cf, cf)
+    args = (kc, pads, out_lens, rep_out, (in_lens,))
+
+    def loss(op, extra):
+        def f(xs, ws):
+            y, s1, s2 = op(xs, ws, *args, *extra)
+            return (jnp.sum(y.astype(jnp.float32) ** 2)
+                    + jnp.sum(s1 * s2) + jnp.sum(jnp.sin(s2)))
+        return f
+
+    y, s1, s2 = pc.cell_conv_stats(xs, ws, *args, True, out_pads)
+    yr, s1r, s2r = pc.cell_conv_stats_reference(xs, ws, *args, out_pads)
+    assert y.shape == yr.shape == (1, *out_pads[1], cf)
+    ymax = float(jnp.max(jnp.abs(yr.astype(jnp.float32)))) + 1e-6
+    assert float(jnp.max(jnp.abs(
+        y.astype(jnp.float32) - yr.astype(jnp.float32)))) / ymax < 2e-2
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s1r),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r),
+                               rtol=1e-3, atol=1e-2)
+    # border rows are exactly zero
+    o_off, phys = out_pads
+    ynp = np.asarray(y, np.float32)[0]
+    for a in range(3):
+        sl = [slice(None)] * 4
+        if o_off[a]:
+            sl[a] = slice(0, o_off[a])
+            assert (ynp[tuple(sl)] == 0).all()
+        sl[a] = slice(o_off[a] + out_lens[a], None)
+        assert (ynp[tuple(sl)] == 0).all()
+    gp = jax.grad(loss(pc.cell_conv_stats, (True, out_pads)),
+                  argnums=(0, 1))(xs, ws)
+    gr = jax.grad(loss(pc.cell_conv_stats_reference, (out_pads,)),
+                  argnums=(0, 1))(xs, ws)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        aa, bb = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(aa - bb).max() / (np.abs(bb).max() + 1e-6)
+        assert rel < 5e-2, rel
+
+
+def test_norm_chain_matches_reference():
+    """cell_conv_norm_stats (normalize-on-load + chained VJP): forward,
+    stats and grads w.r.t. (x, ab, w) vs the reference composite."""
+    # phase-down conv consuming a phase-up producer's padded raw output
+    in_lens, out_lens, kc = (9, 9, 16), (8, 8, 16), (2, 2, 3)
+    pads = ((0, 0), (0, 0), (1, 1))
+    rep_in = ((2, 1), (2, 1), (1, 0))
+    rep_out = ((2, 0), (2, 0), (1, 0))
+    cf = 128
+    lo_c, need_c = pc.consumer_pad_geometry(kc, pads, out_lens, cf, cf, 1)
+    x_off, x_phys = pc.padded_out_geometry(kc, in_lens, lo_c, need_c,
+                                           cf, cf)
+    # raw producer output in its padded geometry (border zero, logical
+    # region arbitrary — artifact rows are masked by the transform)
+    xlog = _mk((1, *in_lens, cf))
+    x = jnp.pad(xlog, [(0, 0)] + [
+        (o, p - o - n) for o, p, n in zip(x_off, x_phys, in_lens)]
+        + [(0, 0)])
+    ab = jnp.stack([1.0 + 0.3 * _mk((1, cf), 1.0, jnp.float32),
+                    0.2 * _mk((1, cf), 1.0, jnp.float32)], axis=1)
+    w = _mk((int(np.prod(kc)), cf, cf), 0.1)
+    sargs = (kc, pads, out_lens, rep_out, in_lens, rep_in, tuple(x_off),
+             0.01, None)
+
+    def loss(op):
+        # stats terms scaled to O(1) cotangents: training-scale ds1/ds2.
+        # (un-scaled, ds1 = s2 ~ 1e6 dominates the folded dy, and the
+        # backward sweeps' by-design bf16 dy rounds away the y-term —
+        # both impls round differently there, nothing a real loss hits)
+        def f(x, ab, w):
+            y, s1, s2 = op(x, ab, w, *sargs)
+            return (jnp.sum(y.astype(jnp.float32) ** 2)
+                    + 1e-6 * jnp.sum(s1 * s2) + jnp.sum(jnp.sin(s2)))
+        return f
+
+    y, s1, s2 = pc.cell_conv_norm_stats(x, ab, w, *sargs)
+    yr, s1r, s2r = pc.cell_conv_norm_stats_reference(x, ab, w, *sargs)
+    ymax = float(jnp.max(jnp.abs(yr.astype(jnp.float32)))) + 1e-6
+    assert float(jnp.max(jnp.abs(
+        y.astype(jnp.float32) - yr.astype(jnp.float32)))) / ymax < 2e-2
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s1r),
+                               rtol=2e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r),
+                               rtol=2e-2, atol=5e-2)
+    gp = jax.grad(loss(pc.cell_conv_norm_stats),
+                  argnums=(0, 1, 2))(x, ab, w)
+    gr = jax.grad(loss(pc.cell_conv_norm_stats_reference),
+                  argnums=(0, 1, 2))(x, ab, w)
+    for name, a, b in zip(("dx", "dab", "dw"), gp, gr):
+        aa, bb = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(aa - bb).max() / (np.abs(bb).max() + 1e-6)
+        assert rel < 5e-2, (name, rel)

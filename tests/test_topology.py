@@ -302,3 +302,51 @@ def test_soft_cldice_channelless_target():
     assert mixed == pytest.approx(both, rel=1e-6)
     with pytest.raises(ValueError, match="rank mismatch"):
         soft_cldice_loss(p, t[0])
+
+
+def test_max_pool_probe_sees_single_voxel_specks():
+    """The pooling-blindness fix (round-4): under avg pooling a 1-voxel
+    false-positive component is diluted to 1/prod(pool) amplitude — a
+    near-zero bar the Wasserstein matching prunes — so the topological
+    term cannot remove exactly the specks the Betti-error metric counts.
+    Max pooling keeps the speck at full amplitude: the loss value rises
+    and its gradient lands on the speck voxel itself (negative: push the
+    probability down)."""
+    from multimodal_mvd_seg_tpu.losses.topo import topo_wasserstein
+
+    shape = (32, 32, 32)
+    zz, yy, xx = np.mgrid[[slice(0, s) for s in shape]]
+    # GT: one bright tube along x
+    tube = (np.abs(zz - 16) <= 1) & (np.abs(yy - 16) <= 1)
+    tgt = np.where(tube, 1.0, 0.0).astype(np.float32)
+    # prediction: the tube plus a single-voxel bright speck far from it
+    pred = np.where(tube, 0.9, 0.02).astype(np.float32)
+    speck = (6, 8, 9)
+    # borderline-confidence speck (the parity diagnosis' false positives
+    # are low-margin voxels, weaker than the 0.9 tube): its bar is the
+    # cheapest to prune to the diagonal, so the matching pushes IT down
+    # rather than pairing it with the ground-truth tube bar
+    pred[speck] = 0.6
+    predj = jnp.asarray(pred)[None]
+    tgtj = jnp.asarray(tgt)[None]
+
+    def loss(mode):
+        def f(p):
+            return topo_wasserstein(p, tgtj, topo_dim=2, q=2.0, cap=256,
+                                    downsample=(2, 2, 2), pool_mode=mode)
+        return f
+
+    val_avg, g_avg = jax.value_and_grad(loss("avg"))(predj)
+    val_max, g_max = jax.value_and_grad(loss("max"))(predj)
+    ga = float(np.abs(np.asarray(g_avg)[0][speck]))
+    gm = float(np.asarray(g_max)[0][speck])
+    # avg pooling: the speck contributes ~1/8 amplitude -> tiny bar, tiny
+    # gradient; max pooling: full-amplitude diagonal-matched bar whose
+    # cost RISES with the speck probability (positive gradient -> descent
+    # pushes the speck down). The GT has no dim-2 bars, so the speck is
+    # the only signal in the compared dimension.
+    assert gm > 0 and abs(gm) > 5 * ga, (gm, ga)
+    # and the speck's bar amplitude itself survives pooling un-diluted:
+    # the loss VALUE rises by ~the pool volume (8x here)
+    assert float(val_max) > 5 * float(val_avg), (float(val_max),
+                                                 float(val_avg))
