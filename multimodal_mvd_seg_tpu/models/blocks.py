@@ -465,7 +465,7 @@ class CellConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, want_stats: bool = False, chained: dict = None,
-                 out_pads=None):
+                 out_pads=None, pre_in: dict = None):
         parts = x if isinstance(x, (tuple, list)) else (x,)
         dim = len(self.kernel_size)
         f_in = _s2d.rep_F(self.rep_in)
@@ -482,6 +482,10 @@ class CellConv(nn.Module):
             # x is the RAW pre-padded previous conv output, logical lens
             # from the chain info (the physical shape carries padding)
             in_lens = tuple(chained["in_lens"])
+        elif pre_in is not None:
+            # pre-padded ACTIVATED input (pad-mode fusion: the producer's
+            # apply wrote the consumer's halo geometry directly)
+            in_lens = tuple(pre_in["in_lens"])
         else:
             in_lens = parts[0].shape[2:] if self.layout_in == "NC" \
                 else tuple(parts[0].shape[1:-1])
@@ -539,8 +543,10 @@ class CellConv(nn.Module):
                 tuple(xs), tuple(ws), tuple(spec.K_cell),
                 tuple(spec.pads), tuple(spec.out_lens),
                 tuple(spec.rep_out),
-                tuple(tuple(map(int, p.shape[1:-1])) for p in xs),
-                not self.input_no_grad, out_pads)
+                ((tuple(pre_in["in_lens"]),) if pre_in is not None else
+                 tuple(tuple(map(int, p.shape[1:-1])) for p in xs)),
+                not self.input_no_grad, out_pads,
+                tuple(pre_in["x_off"]) if pre_in is not None else None)
         out = None
         off = 0
         for p, ci in zip(parts, cins):
@@ -580,14 +586,18 @@ class ConvNormActS2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = True, raw_in: dict = None,
-                 out_geom=None):
+                 out_geom=None, out_apply: bool = False,
+                 pre_in: dict = None):
         """``raw_in``: x is the previous conv's RAW pre-padded output and
         this conv normalizes it on load (dict ab/in_lens/rep_in/x_off/
         slope — ops/pallas_cell.cell_conv_norm_stats).
-        ``out_geom`` = (o_off, phys): defer this block's norm apply —
-        write the raw conv output pre-padded for the NEXT conv and return
-        (y_raw, ab) with the per-lane apply coefficients instead of the
-        activated tensor."""
+        ``out_geom`` = (o_off, phys): write the conv output pre-padded
+        for the NEXT conv; with ``out_apply`` the norm apply runs here
+        (in the padded geometry, border re-zeroed) and the ACTIVATED
+        tensor returns — else the apply is deferred and (y_raw, ab)
+        returns with the per-lane coefficients.
+        ``pre_in``: x is a pre-padded ACTIVATED input (dict
+        in_lens/x_off — the pad-mode counterpart of raw_in)."""
         parts = x if isinstance(x, (tuple, list)) else (x,)
         conv = CellConv(self.features, self.kernel_size, self.strides,
                         self.rep_in, self.rep_out, dtype=self.dtype,
@@ -601,23 +611,24 @@ class ConvNormActS2D(nn.Module):
                           jnp.float32)
         rep = self.rep_out
         lo = self.layout_out
-        if raw_in is not None or out_geom is not None \
-                or self._pallas_ok(parts):
+        if raw_in is not None or pre_in is not None \
+                or out_geom is not None or self._pallas_ok(parts):
             if raw_in is not None:
                 y_raw, s1, s2 = conv(parts[0], want_stats=True,
                                      chained=raw_in, out_pads=out_geom)
             else:
                 y_raw, s1, s2 = conv(x, want_stats=True,
-                                     out_pads=out_geom)
-            if out_geom is not None:
-                # logical out lens for the stats normalization count
-                cells = self._out_cells(parts, raw_in)
+                                     out_pads=out_geom, pre_in=pre_in)
+            cells = self._out_cells(parts, raw_in or pre_in)
+            if out_geom is not None and not out_apply:
+                # defer the apply: hand (y_raw, ab) to the next conv
                 a, b = _s2d.norm_coefs_from_stats(s1, s2, rep, scale,
                                                   bias, cells)
                 return y_raw, jnp.stack([a, b], axis=1)
-            return _s2d.apply_norm_act_from_stats(y_raw, s1, s2, rep,
-                                                  scale, bias,
-                                                  act=self.act)
+            return _s2d.apply_norm_act_from_stats(
+                y_raw, s1, s2, rep, scale, bias, act=self.act,
+                geom=((out_geom[0], cells)
+                      if out_geom is not None else None))
         x = conv(x)
         if _norm_impl() == "vjp":
             return _s2d.masked_instance_norm_act(x, rep, scale, bias,
@@ -709,10 +720,16 @@ class StackedConvBlocksS2D(nn.Module):
             return self.features * _s2d.rep_F(r)
 
         import os
-        fuse_on = os.environ.get("MVDSEG_CELL_FUSE_PAIRS", "1") == "1"
+        # "chain": normalize-on-load (the apply runs inside the next
+        # conv's kernels); "pad": the apply stays in XLA but writes the
+        # next conv's halo geometry directly (pad passes still vanish);
+        # "off": no pair fusion. MVDSEG_CELL_FUSE_PAIRS=0 is legacy off.
+        fuse_mode = os.environ.get("MVDSEG_CELL_FUSE_MODE", "chain")
+        if os.environ.get("MVDSEG_CELL_FUSE_PAIRS", "1") != "1":
+            fuse_mode = "off"
         fuse_into_next = [False] * self.n_convs
         for i in range(self.n_convs - 1):
-            if not fuse_on:
+            if fuse_mode == "off":
                 break
             if i > 0 and fuse_into_next[i - 1]:
                 continue   # disjoint pairs: a consumer never defers too
@@ -750,21 +767,31 @@ class StackedConvBlocksS2D(nn.Module):
                     cf_of(reps[i + 1][0]), cf_of(reps[i + 1][1]), 1)
                 out_geom = _pc.padded_out_geometry(
                     tuple(sn.K_cell), in_lens_l[i + 1], lo_c, need_c,
-                    cf_of(reps[i + 1][1]), cf_of(reps[i + 1][0]))
+                    cf_of(reps[i + 1][1]), cf_of(reps[i + 1][0]),
+                    align=fuse_mode == "chain")
+            kw = {}
             if carry is not None:
-                y_raw, ab, chain_info = carry
-                out = blk(y_raw, train=train,
-                          raw_in=dict(ab=ab, **chain_info),
-                          out_geom=out_geom)
+                if "ab" in carry:
+                    kw["raw_in"] = carry
+                else:
+                    kw["pre_in"] = carry
+                x_in = carry.pop("y")
             else:
-                out = blk(x, train=train, out_geom=out_geom)
+                x_in = x
             if out_geom is not None:
-                y_raw, ab = out
-                carry = (y_raw, ab, dict(
-                    in_lens=tuple(specs[i].out_lens),
-                    rep_in=tuple(reps[i][1]),
-                    x_off=tuple(out_geom[0]),
-                    slope=0.01))
+                kw["out_geom"] = out_geom
+                kw["out_apply"] = fuse_mode == "pad"
+            out = blk(x_in, train=train, **kw)
+            if out_geom is not None:
+                info = dict(in_lens=tuple(specs[i].out_lens),
+                            x_off=tuple(out_geom[0]))
+                if fuse_mode == "chain":
+                    y_raw, ab = out
+                    carry = dict(y=y_raw, ab=ab,
+                                 rep_in=tuple(reps[i][1]), slope=0.01,
+                                 **info)
+                else:
+                    carry = dict(y=out, **info)
             else:
                 x = out
                 carry = None

@@ -437,13 +437,17 @@ def consumer_pad_geometry(kc, pads, out_lens, cf_in, cf_out, n_in):
     return tuple(p[0] for p in pads), need
 
 
-def padded_out_geometry(kc_self, out_lens, lo, min_need, cf_a, cf_b):
+def padded_out_geometry(kc_self, out_lens, lo, min_need, cf_a, cf_b,
+                        align=True):
     """Physical geometry (o_off, phys) for writing a conv output
     pre-padded: logical 0 at ``lo`` and per-axis length covering both
-    ``min_need`` (the consumer's halo need) and the tile-aligned sweep of
-    the backward chain-dgrad over the same array (whose center-tile DMAs
-    need phys to be a tile multiple)."""
+    ``min_need`` (the consumer's halo need) and — when ``align`` (the
+    normalize-on-load chain) — the tile-aligned sweep of the backward
+    chain-dgrad over the same array (whose center-tile DMAs need phys to
+    be a tile multiple)."""
     phys = tuple(max(l + n, m) for l, n, m in zip(lo, out_lens, min_need))
+    if not align:
+        return tuple(lo), phys
     for _ in range(4):   # fixpoint: tile choice depends on the lengths
         t_d = _pick_tiles(phys, cf_a, cf_b, 1, kc_self)
         new = tuple(_ceil(g, t) * t for g, t in zip(phys, t_d))
@@ -829,7 +833,8 @@ def _conv_wgrad(xs, dy, kc, pads, out_lens, in_lens=None,
 # public op with custom VJP
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def cell_conv_stats(xs: Tuple[jnp.ndarray, ...],
                     ws: Tuple[jnp.ndarray, ...],
                     kc: Tuple[int, ...],
@@ -838,7 +843,8 @@ def cell_conv_stats(xs: Tuple[jnp.ndarray, ...],
                     rep_out: Tuple[Tuple[int, int], ...],
                     in_lens: Tuple[Tuple[int, ...], ...],
                     need_dx: bool = True,
-                    out_pads=None):
+                    out_pads=None,
+                    x_off=None):
     """Stride-1 NL cell conv over one or more (x, w) contributions summed,
     with the phase artifact rows of the output zeroed and per-(B, lane)
     f32 moments (s1, s2) of the masked output emitted from the same pass.
@@ -856,15 +862,26 @@ def cell_conv_stats(xs: Tuple[jnp.ndarray, ...],
     region — so the consuming conv's pad pass disappears (it reads the
     array as its halo-padded input directly). Use
     ``consumer_pad_geometry``/``padded_out_geometry`` to derive it.
+
+    ``x_off``: the SINGLE input is already stored pre-padded with its
+    logical cell 0 at physical x_off (a producer's out_pads write); must
+    equal pads_lo + o_off per axis so DMA bases stay aligned. The VJP
+    then writes dx in the same padded geometry.
     """
     o_off, out_phys = out_pads if out_pads is not None else \
         ((0, 0, 0), None)
+    if x_off is not None:
+        assert len(xs) == 1
+        assert tuple(x_off) == tuple(
+            p[0] + o for p, o in zip(pads, o_off)), (x_off, pads, o_off)
     return _conv_fwd(list(xs), list(ws), kc, pads, out_lens, rep_out,
-                     True, o_off=o_off, out_phys=out_phys)
+                     True, in_lens=tuple(in_lens[0]),
+                     pre_padded=x_off is not None,
+                     o_off=o_off, out_phys=out_phys)
 
 
 def _ccs_fwd(xs, ws, kc, pads, out_lens, rep_out, in_lens, need_dx,
-             out_pads):
+             out_pads, x_off):
     # keep the halo-PADDED inputs as residuals: wgrad consumes the same
     # padded geometry, so saving xps instead of xs removes one full
     # pad pass (read+write of each input) from every backward
@@ -872,6 +889,9 @@ def _ccs_fwd(xs, ws, kc, pads, out_lens, rep_out, in_lens, need_dx,
         ((0, 0, 0), None)
     y, s1, s2, xps = _conv_fwd(list(xs), list(ws), kc, pads, out_lens,
                                rep_out, True, keep_padded=True,
+                               in_lens=(tuple(in_lens[0])
+                                        if x_off is not None else None),
+                               pre_padded=x_off is not None,
                                o_off=o_off, out_phys=out_phys)
     return (y, s1, s2), (tuple(xps), ws, y)
 
@@ -926,7 +946,7 @@ def _shape_dyp(dyf, o_off, phys, lo, need, out_lens):
 
 
 def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, need_dx, out_pads,
-             res, cts):
+             x_off, res, cts):
     xs, ws, y = res
     dy, ds1, ds2 = cts
     cf_out = dy.shape[-1]
@@ -934,19 +954,25 @@ def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, need_dx, out_pads,
     n_in = len(xs)
     o_off, phys = out_pads if out_pads is not None else \
         ((0, 0, 0), tuple(out_lens))
+    xo = tuple(x_off) if x_off is not None else (0,) * len(kc)
     # stats cotangents fold elementwise into dy; y's artifact rows are
     # already zero so the mask is implicit in y, but dy itself must be
     # masked (downstream may carry nonzero cotangent on artifact rows —
     # e.g. through the exit apply's bias term).
     dyf = _fold_dy(dy, ds1, ds2, y, out_lens, rep_out, o_off, phys,
                    xs[0].dtype)
-    # one dy array for both backward sweeps
+    # one dy array for both backward sweeps (the dgrad conv's o_off is
+    # the pre-padded input's own offset, so dx comes back in the input's
+    # physical geometry)
     lo, need, dpads = _sweep_dy_geometry(kc, pads, out_lens, cf_in,
-                                         cf_out, n_in, need_dx, in_lens)
+                                         cf_out, n_in, need_dx, in_lens,
+                                         extra_off=xo)
     if need_dx:
-        for il in in_lens:
-            t_d = _pick_tiles(tuple(il), cf_out, cf_in, 1, kc)
-            g_d = (1,) + tuple(_ceil(n, t) for n, t in zip(il, t_d))
+        for i, il in enumerate(in_lens):
+            dl = tuple(xs[i].shape[1:-1]) if x_off is not None \
+                else tuple(il)
+            t_d = _pick_tiles(dl, cf_out, cf_in, 1, kc)
+            g_d = (1,) + tuple(_ceil(n, t) for n, t in zip(dl, t_d))
             nd = _halo_need(kc, t_d, g_d)
             need = [max(n, m) for n, m in zip(need, nd)]
     dyp = _shape_dyp(dyf, o_off, phys, lo, need, out_lens)
@@ -961,7 +987,8 @@ def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, need_dx, out_pads,
                       in_lens=tuple(in_lens[0]), dy_off=lo,
                       dy_pre_padded=True, x_delta=tuple(o_off),
                       x_need=_residual_need(kc, out_lens, cf_in, cf_out,
-                                            n_in, o_off, phys))
+                                            n_in, o_off, phys),
+                      x_pre_padded=x_off is not None)
     dxs = []
     for i, (x, w) in enumerate(zip(xs, ws)):
         if not need_dx:
@@ -969,9 +996,15 @@ def _ccs_bwd(kc, pads, out_lens, rep_out, in_lens, need_dx, out_pads,
             dxs.append(jnp.zeros(x.shape, x.dtype))
             continue
         wt = jnp.flip(w, axis=0).transpose(0, 2, 1)   # (T, CFo, CFi)
-        dx = _conv_fwd([dyp], [wt], kc, dpads, tuple(in_lens[i]),
-                       ((1, 0),) * len(kc), False, in_lens=out_lens,
-                       pre_padded=True)
+        if x_off is not None:
+            dx = _conv_fwd([dyp], [wt], kc, dpads, tuple(in_lens[i]),
+                           ((1, 0),) * len(kc), False, in_lens=out_lens,
+                           pre_padded=True, o_off=xo,
+                           out_phys=tuple(x.shape[1:-1]))
+        else:
+            dx = _conv_fwd([dyp], [wt], kc, dpads, tuple(in_lens[i]),
+                           ((1, 0),) * len(kc), False, in_lens=out_lens,
+                           pre_padded=True)
         dxs.append(dx.astype(x.dtype))
     return tuple(dxs), tuple(dw.astype(w.dtype)
                              for dw, w in zip(dws, ws))

@@ -480,36 +480,47 @@ def norm_coefs_from_stats(s1, s2, rep: Rep, scale, bias, cells):
 
 def apply_norm_act_from_stats(y_raw: jnp.ndarray, s1: jnp.ndarray,
                               s2: jnp.ndarray, rep: Rep, scale, bias,
-                              act: bool = True) -> jnp.ndarray:
+                              act: bool = True, geom=None) -> jnp.ndarray:
     """Instance-norm apply + leaky relu given precomputed per-lane f32
     moment sums (s1 = Σy, s2 = Σy² over the masked cells, (B, C*F)) — the
     fused-kernel path (ops/pallas_cell.py) emits these from the conv pass,
     so no reduction re-reads the tensor here. NL layout only
     (y_raw: (B, *cells, C*F) with artifact rows already zeroed).
 
+    ``geom`` = (o_off, out_lens): y_raw is stored PRE-PADDED (logical
+    region of ``out_lens`` cells at physical ``o_off``, zero border —
+    ops/pallas_cell.py out_pads); the apply re-zeroes everything outside
+    the logical region so the result keeps the padded geometry the next
+    conv reads directly.
+
     The apply runs in bf16 with pre-cast coefficients (see
     models/blocks._norm_elemwise — y is bf16 on return regardless), and
     the tiny (B, C) statistics graph stays in autodiff-land so the norm's
     stats coupling back-propagates through s1/s2 into the kernel's VJP."""
     B = y_raw.shape[0]
-    cells = y_raw.shape[1:-1]
+    phys = y_raw.shape[1:-1]
     CF = y_raw.shape[-1]
     F = rep_F(rep)
     C = CF // F
+    cells = phys if geom is None else tuple(geom[1])
     needs_mask = any(f > 1 and p for f, p in rep)
-    if needs_mask:
-        msk, n_real = artifact_mask(rep, cells)
-        msk = jnp.moveaxis(msk, 0, -1)[None, ..., None, :]  # NL broadcast
-    else:
-        n_real = float(np.prod(cells)) * F
     a, b = norm_coefs_from_stats(s1, s2, rep, scale, bias, cells)
-    A = a.reshape(B, *(1,) * len(cells), CF)
-    Bc = b.reshape(B, *(1,) * len(cells), CF)
+    A = a.reshape(B, *(1,) * len(phys), CF)
+    Bc = b.reshape(B, *(1,) * len(phys), CF)
     y = y_raw * A.astype(y_raw.dtype) + Bc.astype(y_raw.dtype)
     if act:
         y = jax.nn.leaky_relu(y, negative_slope=0.01)
+    if geom is not None:
+        # bounds + artifact mask in the padded geometry (iota-built, no
+        # full-size constant)
+        from . import pallas_cell as _pc
+        m = _pc._out_mask(tuple(geom[1]), tuple(rep), CF, y.dtype,
+                          o_off=tuple(geom[0]), phys=tuple(phys))
+        return y * m
     if needs_mask:
         # re-zero artifact rows (the affine/act made them b-valued)
+        msk, _ = artifact_mask(rep, cells)
+        msk = jnp.moveaxis(msk, 0, -1)[None, ..., None, :]  # NL broadcast
         grouped = y.reshape(B, *cells, C, F)
         y = (grouped * msk.astype(y.dtype)).reshape(B, *cells, CF)
     return y

@@ -87,7 +87,11 @@ def test_kernel_fwd_and_grads_match_reference(case):
         assert rel < 5e-2, rel
 
 
-def test_block_f32_end_to_end_grad_equivalence(monkeypatch):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("fuse_mode", ["chain", "pad", "off"])
+def test_block_f32_end_to_end_grad_equivalence(monkeypatch, fuse_mode):
     """StackedConvBlocksS2D with MVDSEG_CELL_IMPL=pallas vs the XLA path,
     in f32 so instance-norm scale-invariance cancellation doesn't turn
     rounding noise into chaos (in bf16 even two pure-XLA precisions of
@@ -107,6 +111,7 @@ def test_block_f32_end_to_end_grad_equivalence(monkeypatch):
 
     def run(impl):
         monkeypatch.setenv("MVDSEG_CELL_IMPL", impl)
+        monkeypatch.setenv("MVDSEG_CELL_FUSE_MODE", fuse_mode)
 
         def f(v, t):
             y = m.apply(v, t)
