@@ -44,18 +44,38 @@ def _maybe_pool(x: jnp.ndarray, factor: Optional[Sequence[int]],
     error counts. Max pooling keeps such a component at full amplitude
     (and is the topology-preserving downsampling for bright thin
     structures on a dark background), and its gradient routes to the
-    speck's own argmax voxel."""
+    speck's own argmax voxel.
+
+    Implementation note: window always equals stride here, so max pooling
+    is a reshape (d1,f1,d2,f2,...) + ``jnp.max`` over the factor axes.
+    This matters on TPU: the VJP of ``reduce_window``-max lowers to
+    SelectAndScatter, which XLA:TPU rejects for 3 pooled spatial axes
+    ("Select and Scatter with less than 2 inactive dims is not
+    implemented") — the round-4 chip crash. ``jnp.max``'s VJP is an
+    equality-mask broadcast, which lowers fine. Numerics are identical
+    to windowed max; the gradient differs from SelectAndScatter only on
+    exact ties (spread across tied voxels instead of picking one)."""
+    if mode not in ("avg", "max"):
+        raise ValueError(
+            f"_maybe_pool: mode must be 'avg' or 'max', got {mode!r}")
     if factor is None or all(f == 1 for f in factor):
         return x
     window = tuple(int(f) for f in factor)
+    if len(window) != x.ndim:
+        raise ValueError(
+            f"_maybe_pool: factor {window} must give one entry per axis of "
+            f"the {x.ndim}-d map")
+    # crop to a multiple of the window (= reduce_window "VALID")
+    crop = tuple(slice(0, (s // f) * f) for s, f in zip(x.shape, window))
+    xc = x[crop]
+    split_shape, factor_axes = [], []
+    for i, (s, f) in enumerate(zip(xc.shape, window)):
+        split_shape.extend([s // f, f])
+        factor_axes.append(2 * i + 1)
+    xr = xc.reshape(split_shape)
     if mode == "max":
-        return jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, window, window, "VALID")
-    denom = 1
-    for f in window:
-        denom *= f
-    return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, window, window, "VALID") / float(denom)
+        return jnp.max(xr, axis=tuple(factor_axes))
+    return jnp.mean(xr, axis=tuple(factor_axes))
 
 
 def topo_match_host(pred: "np.ndarray", target: "np.ndarray",

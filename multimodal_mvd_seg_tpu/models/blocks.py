@@ -386,7 +386,9 @@ def pallas_cell_eligible_static(kernel_size, strides, rep_in, rep_out,
                                 padding="SAME") -> bool:
     """Shape-only variant of pallas_cell_eligible (no live arrays) — used
     by StackedConvBlocksS2D to plan conv-pair fusion before any tensor
-    exists."""
+    exists. ``cf_in`` is the input lane count — an int, or a tuple with
+    one entry per channel-partition part (every part must pass, exactly
+    like the dynamic check's per-part loop)."""
     if _cell_impl() != "pallas":
         return False
     if len(kernel_size) != 3:
@@ -395,8 +397,9 @@ def pallas_cell_eligible_static(kernel_size, strides, rep_in, rep_out,
     def lanes_ok(n):
         return n % 128 == 0 or (n in (8, 16, 32, 64))
 
+    cfs = tuple(cf_in) if isinstance(cf_in, (tuple, list)) else (cf_in,)
     f_out = _s2d.rep_F(rep_out)
-    if not lanes_ok(cf_in) or (features * f_out) % 128:
+    if any(not lanes_ok(c) for c in cfs) or (features * f_out) % 128:
         return False
     spec = _cell_spec(tuple(map(int, kernel_size)),
                       tuple(map(int, strides)),
@@ -719,6 +722,16 @@ class StackedConvBlocksS2D(nn.Module):
         def cf_of(r):
             return self.features * _s2d.rep_F(r)
 
+        def cf_in_of(i):
+            # conv 0's input is the previous stage's output (or a multi-
+            # part decoder tuple) — its lane count is NOT features*rep_F
+            # (the stage's own width). Use the live parts so the plan
+            # agrees with the runtime pallas_cell_eligible per-part check;
+            # convs i>0 consume conv i-1's output, whose cf is exact.
+            if i == 0:
+                return tuple(int(p.shape[-1]) for p in parts0)
+            return cf_of(reps[i][0])
+
         import os
         # "chain": normalize-on-load (the apply runs inside the next
         # conv's kernels); "pad": the apply stays in XLA but writes the
@@ -738,11 +751,11 @@ class StackedConvBlocksS2D(nn.Module):
                 continue
             ok_i = pallas_cell_eligible_static(
                 self.kernel_size, strides_l[i], *reps[i],
-                in_lens_l[i], cf_of(reps[i][0]), self.features,
+                in_lens_l[i], cf_in_of(i), self.features,
                 self.padding)
             ok_n = pallas_cell_eligible_static(
                 self.kernel_size, strides_l[i + 1], *reps[i + 1],
-                in_lens_l[i + 1], cf_of(reps[i + 1][0]),
+                in_lens_l[i + 1], cf_in_of(i + 1),
                 self.features, self.padding)
             fuse_into_next[i] = ok_i and ok_n
 

@@ -390,10 +390,14 @@ def _halo_padded(xs, kc, pads, tiles, grid, in_lens, o_off=(0, 0, 0),
     amount — baking the shift into the input padding keeps DMA bases
     aligned). ``need`` overrides the per-axis physical length requirement
     (callers union the forward's and the wgrad sweep's needs so the
-    padded residual serves both). An input already carrying the halo
-    geometry (logical cell 0 at physical pads_lo + o_off, length >= need
-    — e.g. the VJP reusing the forward's padded residuals) passes
-    through untouched."""
+    padded residual serves both). An input already carrying EXACTLY the
+    target halo geometry (logical cell 0 at physical pads_lo + o_off,
+    length == the target — e.g. the VJP reusing the forward's padded
+    residuals, whose call sites build byte-identical ``need`` unions)
+    passes through untouched; any other shape must be the UNPADDED
+    logical lens — re-padding an already-padded array would shift its
+    origin by another pads_lo + o_off and silently corrupt the conv, so
+    that case asserts instead."""
     if need is None:
         need = _halo_need(kc, tiles, grid)
     xps = []
@@ -408,6 +412,12 @@ def _halo_padded(xs, kc, pads, tiles, grid, in_lens, o_off=(0, 0, 0),
                 l + lo + hi for l, (lo, hi) in zip(in_lens, padcfg[1:-1])):
             xps.append(x)
         else:
+            assert tuple(x.shape[1:-1]) == tuple(in_lens), (
+                "_halo_padded: input spatial shape "
+                f"{tuple(x.shape[1:-1])} is neither the unpadded logical "
+                f"lens {tuple(in_lens)} nor the exact padded target "
+                f"{tuple(l + lo + hi for l, (lo, hi) in zip(in_lens, padcfg[1:-1]))}"
+                " — refusing to re-pad what may already carry a halo")
             xps.append(jnp.pad(x, padcfg))
     return xps
 
@@ -454,6 +464,14 @@ def padded_out_geometry(kc_self, out_lens, lo, min_need, cf_a, cf_b,
         if new == phys:
             break
         phys = new
+    t_d = _pick_tiles(phys, cf_a, cf_b, 1, kc_self)
+    if any(p % t for p, t in zip(phys, t_d)):
+        # would otherwise surface later as an opaque trace-time shape
+        # assert in _conv_fwd's chain path
+        raise ValueError(
+            "padded_out_geometry: tile-alignment fixpoint did not "
+            f"converge (phys={phys}, tiles={t_d}) — this geometry cannot "
+            "run the align=True chain; use fuse mode 'pad' or 'off'")
     return tuple(lo), phys
 
 

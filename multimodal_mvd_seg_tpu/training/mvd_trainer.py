@@ -26,8 +26,9 @@ structure, not an omission):
   (:949-953) = stop_gradient + use_running_average heads here;
 - the topo loss runs the cubical persistence + optimal matching on host
   (the reference pays the same CPU cost through gudhi/torch_topological)
-  with the vessel maps average-pooled by ``topo_pool`` first — the
-  documented speed knob; gradients reach the critical voxels by gather.
+  with the vessel maps pooled by ``topo_pool`` first (``topo_pool_mode``:
+  max by default, avg optional) — the documented speed knob; gradients
+  reach the critical voxels by gather.
   Two equivalent execution modes (``topo_mode``): "callback" embeds the
   host work in the train jit via jax.pure_callback; "two_phase" splits the
   step into probe jit → host persistence/matching → train jit (for
@@ -124,8 +125,9 @@ class ContrastiveTrainer(MVDSegTrainer):
         # "max" (default) keeps 1-voxel false-positive components at full
         # amplitude in the pooled map, so the Wasserstein term sees (and
         # suppresses) exactly the specks the Betti-error metric counts;
-        # "avg" dilutes them to 1/prod(topo_pool) — measured on the parity
-        # protocol (documentation/dice_parity.md, round-4 A/B).
+        # "avg" dilutes them to 1/prod(topo_pool) (mechanism pinned in
+        # tests/test_topology.py::test_max_pool_probe_sees_single_voxel_
+        # specks; parity A/B in documentation/dice_parity.md round-5).
         # Override: MVDSEG_TOPO_POOL_MODE.
         self.topo_pool_mode = os.environ.get("MVDSEG_TOPO_POOL_MODE",
                                              "max")

@@ -350,3 +350,35 @@ def test_max_pool_probe_sees_single_voxel_specks():
     # the loss VALUE rises by ~the pool volume (8x here)
     assert float(val_max) > 5 * float(val_avg), (float(val_max),
                                                  float(val_avg))
+
+
+def test_max_pool_probe_grad_avoids_select_and_scatter():
+    """TPU-lowering guard (round 5): the VJP of ``reduce_window``-max
+    lowers to SelectAndScatter, which XLA:TPU rejects when all 3 spatial
+    axes are pooled ("less than 2 inactive dims" — the round-4 chip crash,
+    .parity_r4/run.log). ``_maybe_pool(mode="max")`` is now a reshape +
+    ``jnp.max``, whose VJP is an equality-mask broadcast; assert the
+    gradient HLO carries no select-and-scatter at all (checkable on any
+    backend), that forward numerics equal windowed max exactly, and that
+    bad mode strings raise instead of silently falling back."""
+    from multimodal_mvd_seg_tpu.losses.topo import _maybe_pool
+
+    x = jnp.zeros((8, 16, 16), jnp.float32)
+    hlo = jax.jit(jax.grad(
+        lambda a: _maybe_pool(a, (2, 4, 4), "max").sum())).lower(x).as_text()
+    assert "select-and-scatter" not in hlo.lower()
+
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.rand(7, 17, 18), jnp.float32)  # non-divisible too
+    for mode in ("max", "avg"):
+        got = np.asarray(_maybe_pool(y, (2, 4, 4), mode))
+        if mode == "max":
+            ref = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
+                                        (2, 4, 4), (2, 4, 4), "VALID")
+            np.testing.assert_array_equal(got, np.asarray(ref))
+        else:
+            ref = jax.lax.reduce_window(y, 0.0, jax.lax.add,
+                                        (2, 4, 4), (2, 4, 4), "VALID") / 32.0
+            np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-6)
+    with pytest.raises(ValueError, match="avg"):
+        _maybe_pool(y, (2, 4, 4), "Max")
