@@ -736,8 +736,14 @@ class StackedConvBlocksS2D(nn.Module):
         # "chain": normalize-on-load (the apply runs inside the next
         # conv's kernels); "pad": the apply stays in XLA but writes the
         # next conv's halo geometry directly (pad passes still vanish);
-        # "off": no pair fusion. MVDSEG_CELL_FUSE_PAIRS=0 is legacy off.
-        fuse_mode = os.environ.get("MVDSEG_CELL_FUSE_MODE", "chain")
+        # "off" (default): no pair fusion. Round-5 on-chip A/B with
+        # bench.py as arbiter (2 reps each, documentation/
+        # tpu_performance.md): off 7.505/7.514, pad 7.506/7.522, chain
+        # 7.495/7.488 steps/s — pair fusion does not beat the unfused
+        # pallas path once the planner bug that forced ineligible fusions
+        # was fixed, so per win-or-delete the modes are opt-in, not
+        # default. MVDSEG_CELL_FUSE_PAIRS=0 is legacy off.
+        fuse_mode = os.environ.get("MVDSEG_CELL_FUSE_MODE", "off")
         if os.environ.get("MVDSEG_CELL_FUSE_PAIRS", "1") != "1":
             fuse_mode = "off"
         fuse_into_next = [False] * self.n_convs
