@@ -122,15 +122,26 @@ class ContrastiveTrainer(MVDSegTrainer):
         # pool factors applied to the vessel maps before cubical
         # persistence; None disables the topo term entirely
         self.topo_pool: Optional[tuple] = None  # set in initialize()
-        # "max" (default) keeps 1-voxel false-positive components at full
-        # amplitude in the pooled map, so the Wasserstein term sees (and
-        # suppresses) exactly the specks the Betti-error metric counts;
-        # "avg" dilutes them to 1/prod(topo_pool) (mechanism pinned in
-        # tests/test_topology.py::test_max_pool_probe_sees_single_voxel_
-        # specks; parity A/B in documentation/dice_parity.md round-5).
-        # Override: MVDSEG_TOPO_POOL_MODE.
+        # "avg" (default — round-5 on-chip 50-epoch A/B, documentation/
+        # dice_parity.md: avg beat max on every metric, mean Dice
+        # 0.9661 vs 0.9442, vessel 0.9447 vs 0.8979, Betti error 1.4 vs
+        # 1.8). The round-4 "max keeps specks at full amplitude" theory
+        # (mechanism pinned in tests/test_topology.py::test_max_pool_
+        # probe_sees_single_voxel_specks) is refuted at training scale:
+        # max pooling erases interior-void signal (a dark hole vanishes
+        # under windowed max), the dim-2 term then under-constrains
+        # voids, and its sparse argmax-routed gradients also slowed
+        # vessel convergence. Override: MVDSEG_TOPO_POOL_MODE.
         self.topo_pool_mode = os.environ.get("MVDSEG_TOPO_POOL_MODE",
-                                             "max")
+                                             "avg")
+        # homology dimension the Wasserstein term compares; the reference
+        # hardcodes 2 (voids — MVDTrainer.py:93 topo_feat_d), which is
+        # structurally blind to the H0 speck components and H1 handles
+        # the Betti-error metric counts. "all" compares all dims jointly
+        # (losses/topo.py topo_dim=None). Override: MVDSEG_TOPO_FEAT_DIM.
+        _td = os.environ.get("MVDSEG_TOPO_FEAT_DIM", "")
+        if _td:
+            self.topo_feat_d = None if _td == "all" else int(_td)
         self.enable_topo_loss = True
         self.topo_cap = 256
         # "auto" resolves at initialize(): "callback" (persistence through
@@ -196,8 +207,13 @@ class ContrastiveTrainer(MVDSegTrainer):
                 self.configuration_name, {})["patch_size"] = rounded
         patch = tuple(rounded)
         if self.topo_pool is None:
-            # pool each axis down to ≤32 voxels for the per-step topo term
-            self.topo_pool = tuple(max(1, p // 32) for p in patch)
+            # pool each axis down to ≤target voxels for the per-step topo
+            # term (default 32; MVDSEG_TOPO_POOL_TARGET overrides — the
+            # granularity ablation knob: the reference pays full-res
+            # persistence, MVDTrainer.py:904-924, so coarser pooling is a
+            # documented approximation that needs measuring, not assuming)
+            target = int(os.environ.get("MVDSEG_TOPO_POOL_TARGET", "32"))
+            self.topo_pool = tuple(max(1, p // target) for p in patch)
         if not self.enable_topo_loss:
             self.topo_mode = "off"
         elif self.topo_mode == "auto":
