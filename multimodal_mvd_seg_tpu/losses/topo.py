@@ -126,12 +126,19 @@ def topo_match_host(pred: "np.ndarray", target: "np.ndarray",
         flat = np.asarray(img, np.float32).reshape(-1)
         dgm = np.stack([flat[np.clip(bi, 0, None)],
                         flat[np.clip(di, 0, None)]], -1).astype(np.float32)
-        return dgm, keep, bi, di
+        return dgm, keep, bi, di, dims
 
     def one(s):
-        d1, m1, bi, di = finite_bars(pred[s])
-        d2, m2, _, _ = finite_bars(target[s])
-        match1, match2 = _host_match(d1, m1, d2, m2, q)
+        d1, m1, bi, di, dims1 = finite_bars(pred[s])
+        d2, m2, _, _, dims2 = finite_bars(target[s])
+        if topo_dim is None:
+            # all-dims mode: match per homology dimension (H0 specks can
+            # never pair with H2 voids), costs aggregated jointly
+            from ..ops.wasserstein import _host_match_per_dim
+            match1, match2 = _host_match_per_dim(d1, m1, dims1,
+                                                 d2, m2, dims2, q)
+        else:
+            match1, match2 = _host_match(d1, m1, d2, m2, q)
         valid[s] = match1 != -2
         b_idx[s] = np.where(valid[s], bi, -1)
         d_idx[s] = np.where(valid[s], di, -1)
@@ -225,6 +232,10 @@ def topo_wasserstein(pred: jnp.ndarray, target: jnp.ndarray,
 
         b1, de1, m1 = sel(dp)
         b2, de2, m2 = sel(dt)
+        if topo_dim is None:
+            # all-dims mode: per-dimension matching (see topo_match_host)
+            return wasserstein_distance(b1, de1, m1, b2, de2, m2, q=q,
+                                        dims1=dp["dims"], dims2=dt["dims"])
         return wasserstein_distance(b1, de1, m1, b2, de2, m2, q=q)
 
     return jax.vmap(one)(pred, target).mean()

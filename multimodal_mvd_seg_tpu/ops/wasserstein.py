@@ -70,26 +70,64 @@ def _host_match(d1: np.ndarray, m1: np.ndarray, d2: np.ndarray,
     return match1, match2
 
 
+def _host_match_per_dim(d1: np.ndarray, m1: np.ndarray, dims1: np.ndarray,
+                        d2: np.ndarray, m2: np.ndarray, dims2: np.ndarray,
+                        q: float):
+    """Per-homology-dimension optimal matching: cross-dimension pairings
+    are forbidden (an H0 component bar can never match an H2 void bar —
+    they are different features; torch_topological's WassersteinDistance
+    likewise zips diagrams dimension by dimension). Each dimension's bars
+    are matched independently with ``_host_match``; the merged match
+    arrays cover the disjoint union, so downstream cost assembly is
+    unchanged."""
+    match1 = np.full(d1.shape[0], -2, np.int32)
+    match2 = np.full(d2.shape[0], -2, np.int32)
+    for d in np.union1d(dims1[m1], dims2[m2]):
+        s1 = m1 & (dims1 == d)
+        s2 = m2 & (dims2 == d)
+        r1, r2 = _host_match(d1, s1, d2, s2, q)
+        match1 = np.where(s1, r1, match1)
+        match2 = np.where(s2, r2, match2)
+    return match1, match2
+
+
 @functools.partial(jax.jit, static_argnames=("q",))
 def wasserstein_distance(birth1, death1, mask1, birth2, death2, mask2,
-                         q: float = 2.0):
+                         q: float = 2.0, dims1=None, dims2=None):
     """q-Wasserstein distance (L∞ ground metric) between two padded
-    diagrams; differentiable w.r.t. all birth/death inputs."""
+    diagrams; differentiable w.r.t. all birth/death inputs.
+
+    When ``dims1``/``dims2`` (per-bar homology dimensions) are given, the
+    optimal matching is computed per dimension (``_host_match_per_dim``)
+    and the costs aggregate jointly — the q-Wasserstein distance on the
+    disjoint union of the per-dimension diagrams."""
     d1 = jnp.stack([birth1, death1], -1).astype(jnp.float32)
     d2 = jnp.stack([birth2, death2], -1).astype(jnp.float32)
 
-    def cb(a1, k1, a2, k2):
-        return _host_match(np.asarray(a1), np.asarray(k1), np.asarray(a2),
-                           np.asarray(k2), q)
-
     n1 = d1.shape[0]
     n2 = d2.shape[0]
-    match1, match2 = jax.pure_callback(
-        cb,
-        (jax.ShapeDtypeStruct((n1,), jnp.int32),
-         jax.ShapeDtypeStruct((n2,), jnp.int32)),
-        jax.lax.stop_gradient(d1), mask1,
-        jax.lax.stop_gradient(d2), mask2, vmap_method="sequential")
+    out_spec = (jax.ShapeDtypeStruct((n1,), jnp.int32),
+                jax.ShapeDtypeStruct((n2,), jnp.int32))
+    if dims1 is None:
+        def cb(a1, k1, a2, k2):
+            return _host_match(np.asarray(a1), np.asarray(k1),
+                               np.asarray(a2), np.asarray(k2), q)
+
+        match1, match2 = jax.pure_callback(
+            cb, out_spec,
+            jax.lax.stop_gradient(d1), mask1,
+            jax.lax.stop_gradient(d2), mask2, vmap_method="sequential")
+    else:
+        def cb_dims(a1, k1, g1, a2, k2, g2):
+            return _host_match_per_dim(
+                np.asarray(a1), np.asarray(k1), np.asarray(g1),
+                np.asarray(a2), np.asarray(k2), np.asarray(g2), q)
+
+        match1, match2 = jax.pure_callback(
+            cb_dims, out_spec,
+            jax.lax.stop_gradient(d1), mask1, dims1,
+            jax.lax.stop_gradient(d2), mask2, dims2,
+            vmap_method="sequential")
 
     # matched pairs: cost from row side only (avoids double counting)
     partner = jnp.take(d2, jnp.clip(match1, 0), axis=0)

@@ -382,3 +382,50 @@ def test_max_pool_probe_grad_avoids_select_and_scatter():
             np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-6)
     with pytest.raises(ValueError, match="avg"):
         _maybe_pool(y, (2, 4, 4), "Max")
+
+
+def test_all_dims_matching_is_per_dimension():
+    """topo_dim=None (MVDSEG_TOPO_FEAT_DIM=all) must match bars per
+    homology dimension: an H0 bar can never pair with an H1/H2 bar even
+    at identical (birth, death) coordinates — they are different features
+    (torch_topological's WassersteinDistance likewise zips diagrams
+    dimension by dimension)."""
+    import numpy as np
+    from multimodal_mvd_seg_tpu.ops.wasserstein import (_host_match,
+                                                        _host_match_per_dim)
+
+    d1 = np.array([[0.1, 0.9]], np.float32)
+    d2 = np.array([[0.1, 0.9]], np.float32)
+    m = np.array([True])
+    j1, j2 = _host_match(d1, m, d2, m, 2.0)
+    assert j1[0] == 0  # joint matching would pair them (cost 0)...
+    p1, p2 = _host_match_per_dim(d1, m, np.array([0]), d2, m, np.array([1]),
+                                 2.0)
+    assert p1[0] == -1 and p2[0] == -1  # ...per-dim sends both to diagonal
+
+    # same-dim bars still match normally through the per-dim path
+    p1, p2 = _host_match_per_dim(d1, m, np.array([1]), d2, m, np.array([1]),
+                                 2.0)
+    assert p1[0] == 0 and p2[0] == 0
+
+
+def test_all_dims_two_phase_matches_in_jit_path():
+    """The two halves of the all-dims topological term — topo_match_host +
+    topo_loss_from_match (the chip's two-phase step) vs topo_wasserstein
+    (the pure_callback path) — must agree, as the dim-2 pair already does."""
+    import numpy as np
+    import jax.numpy as jnp
+    from multimodal_mvd_seg_tpu.losses.topo import (topo_match_host,
+                                                    topo_loss_from_match,
+                                                    topo_wasserstein)
+
+    rng = np.random.RandomState(0)
+    pred = rng.rand(2, 8, 8, 8).astype(np.float32)
+    tgt = (rng.rand(2, 8, 8, 8) > 0.7).astype(np.float32)
+    match = topo_match_host(pred, tgt, None, 2.0, 64)
+    v_two_phase = float(topo_loss_from_match(
+        jnp.asarray(pred), {k: jnp.asarray(v) for k, v in match.items()}))
+    v_in_jit = float(topo_wasserstein(jnp.asarray(pred), jnp.asarray(tgt),
+                                      None, 2.0, 64))
+    assert abs(v_two_phase - v_in_jit) < 1e-4
+    assert v_two_phase > 0.0
